@@ -1,0 +1,431 @@
+"""HiFi-GAN generator + multi-period/multi-scale discriminators in flax.
+
+Parity target: reference `models/hifigan/models.py` (V1 topology: conv_pre k7,
+4 transposed-conv upsample stages 8/8/2/2 with MRF resblocks k=3/7/11
+dilations (1,3,5), conv_post k7 + tanh; MPD periods 2/3/5/7/11; MSD at
+1x/2x/4x).
+
+Weight-norm / spectral-norm are explicit (g, v) parametrizations with the
+same normalization axes as torch.nn.utils.weight_norm(dim=0) on each torch
+layout, so reference checkpoints convert 1:1:
+  - Conv1d weight (Co, Ci/g, K): norm per output channel
+  - ConvTranspose1d weight (Ci, Co, K): norm per *input* channel (the
+    well-known torch default-dim quirk, kept for parity)
+Param tensors are stored in torch layout and rearranged to XLA layout at
+trace time (free at runtime).
+
+Layouts: activations are feature-last (B, T, C) / (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emotivoice_tpu.config import VocoderConfig
+
+LRELU_SLOPE = 0.1
+
+
+def _norm_except_dim0(v: jnp.ndarray) -> jnp.ndarray:
+    axes = tuple(range(1, v.ndim))
+    return jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+
+
+def _normal_init(std: float):
+    return nn.initializers.normal(stddev=std)
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized Conv1d over (B, T, C)."""
+
+    in_features: int
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: Optional[int] = None  # defaults to 'same' for stride 1
+    use_weight_norm: bool = True
+    init_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, ci, co = self.kernel_size, self.in_features, self.features
+        v = self.param(
+            "v", _normal_init(self.init_std), (co, ci // self.groups, k)
+        )
+        if self.use_weight_norm:
+            g = self.param(
+                "g",
+                lambda rng, shape: _norm_except_dim0(v),
+                (co, 1, 1),
+            )
+            w = g * v / jnp.maximum(_norm_except_dim0(v), 1e-12)
+        else:
+            w = v
+        b = self.param("b", nn.initializers.zeros, (co,))
+        pad = self.padding
+        if pad is None:
+            pad = (k - 1) // 2 * self.dilation
+        kernel = jnp.transpose(w, (2, 1, 0))  # (K, Ci/g, Co)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(pad, pad)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return y + b
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalized ConvTranspose1d matching torch semantics:
+    out_len = (T-1)*stride - 2*padding + kernel_size."""
+
+    in_features: int
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    use_weight_norm: bool = True
+    init_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, ci, co = self.kernel_size, self.in_features, self.features
+        v = self.param("v", _normal_init(self.init_std), (ci, co, k))
+        if self.use_weight_norm:
+            g = self.param(
+                "g", lambda rng, shape: _norm_except_dim0(v), (ci, 1, 1)
+            )
+            w = g * v / jnp.maximum(_norm_except_dim0(v), 1e-12)
+        else:
+            w = v
+        b = self.param("b", nn.initializers.zeros, (co,))
+        # Transposed conv == lhs-dilated conv with flipped kernel.
+        kernel = jnp.flip(jnp.transpose(w, (2, 0, 1)), axis=0)  # (K, Ci, Co)
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return y + b
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized Conv2d over (B, H, W, C) for the MPD towers."""
+
+    in_features: int
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_weight_norm: bool = True
+    init_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        ci, co = self.in_features, self.features
+        v = self.param("v", _normal_init(self.init_std), (co, ci, kh, kw))
+        if self.use_weight_norm:
+            g = self.param(
+                "g", lambda rng, shape: _norm_except_dim0(v), (co, 1, 1, 1)
+            )
+            w = g * v / jnp.maximum(_norm_except_dim0(v), 1e-12)
+        else:
+            w = v
+        b = self.param("b", nn.initializers.zeros, (co,))
+        kernel = jnp.transpose(w, (2, 3, 1, 0))  # (Kh, Kw, Ci, Co)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return y + b
+
+
+class SNConv1d(nn.Module):
+    """Spectral-normalized Conv1d (power iteration, torch dim=0 semantics)."""
+
+    in_features: int
+    features: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    padding: int = 0
+    init_std: float = 0.01
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_stats: bool = False) -> jnp.ndarray:
+        k, ci, co = self.kernel_size, self.in_features, self.features
+        w = self.param("w", _normal_init(self.init_std), (co, ci // self.groups, k))
+        b = self.param("b", nn.initializers.zeros, (co,))
+        u_var = self.variable(
+            "spectral", "u", lambda: np.random.RandomState(0).randn(co).astype(np.float32)
+        )
+        w_mat = w.reshape(co, -1)
+        u = u_var.value
+        v = w_mat.T @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), self.eps)
+        u_new = w_mat @ v
+        u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), self.eps)
+        if update_stats and not self.is_initializing():
+            u_var.value = jax.lax.stop_gradient(u_new)
+        sigma = jnp.dot(jax.lax.stop_gradient(u_new), w_mat @ jax.lax.stop_gradient(v))
+        w_sn = w / jnp.maximum(sigma, self.eps)
+        kernel = jnp.transpose(w_sn, (2, 1, 0))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return y + b
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block (reference models.py:26-64)."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = WNConv1d(
+                self.channels, self.channels, self.kernel_size, dilation=d,
+                name=f"convs1_{i}",
+            )(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = WNConv1d(
+                self.channels, self.channels, self.kernel_size, dilation=1,
+                name=f"convs2_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Lighter MRF variant (reference models.py:67-89)."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = WNConv1d(
+                self.channels, self.channels, self.kernel_size, dilation=d,
+                name=f"convs_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """Reference Generator (models.py:90-140). Input (B, T, n_mels) mel,
+    output (B, T * prod(upsample_rates)) waveform in (-1, 1)."""
+
+    cfg: VocoderConfig
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        num_kernels = len(c.resblock_kernel_sizes)
+        resblock_cls = ResBlock1 if c.resblock == "1" else ResBlock2
+
+        x = WNConv1d(
+            c.initial_channel, c.upsample_initial_channel, 7, padding=3,
+            name="conv_pre",
+        )(mel)
+        in_ch = c.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            out_ch = c.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, c.lrelu_slope)
+            x = WNConvTranspose1d(
+                in_ch, out_ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}"
+            )(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+            ):
+                r = resblock_cls(
+                    out_ch, rk, rd, name=f"resblocks_{i * num_kernels + j}"
+                )(x)
+                acc = r if acc is None else acc + r
+            x = acc / num_kernels
+            in_ch = out_ch
+        # NOTE: reference uses default slope 0.01 for the final activation
+        # (models.py:133 F.leaky_relu without slope arg).
+        x = nn.leaky_relu(x, 0.01)
+        x = WNConv1d(in_ch, 1, 7, padding=3, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+class DiscriminatorP(nn.Module):
+    """Period sub-discriminator (reference models.py:143-177)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray):
+        # wav: (B, T)
+        b, t = wav.shape
+        p = self.period
+        if t % p != 0:
+            n_pad = p - (t % p)
+            wav = jnp.pad(wav, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = wav.reshape(b, t // p, p, 1)  # (B, H=T/p, W=p, C=1)
+
+        fmap = []
+        chans = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        for i, (ci, co) in enumerate(chans):
+            x = WNConv2d(
+                ci, co, (self.kernel_size, 1), (self.stride, 1), (2, 0),
+                name=f"convs_{i}",
+            )(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = WNConv2d(1024, 1024, (self.kernel_size, 1), (1, 1), (2, 0), name="convs_4")(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale sub-discriminator (reference models.py:206-233)."""
+
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray, update_stats: bool = False):
+        x = wav[..., None]  # (B, T, 1)
+        fmap = []
+        layers = [
+            # (ci, co, k, stride, groups, pad)
+            (1, 128, 15, 1, 1, 7),
+            (128, 128, 41, 2, 4, 20),
+            (128, 256, 41, 2, 16, 20),
+            (256, 512, 41, 4, 16, 20),
+            (512, 1024, 41, 4, 16, 20),
+            (1024, 1024, 41, 1, 16, 20),
+            (1024, 1024, 5, 1, 1, 2),
+        ]
+        for i, (ci, co, k, s, g, pad) in enumerate(layers):
+            if self.use_spectral_norm:
+                x = SNConv1d(ci, co, k, s, g, pad, name=f"convs_{i}")(x, update_stats)
+            else:
+                x = WNConv1d(ci, co, k, stride=s, groups=g, padding=pad,
+                             name=f"convs_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        if self.use_spectral_norm:
+            x = SNConv1d(1024, 1, 3, 1, 1, 1, name="conv_post")(x, update_stats)
+        else:
+            x = WNConv1d(1024, 1, 3, padding=1, name="conv_post")(x)
+        fmap.append(x)
+        b = x.shape[0]
+        return x.reshape(b, -1), fmap
+
+
+def _avg_pool1d(x: jnp.ndarray, window: int = 4, stride: int = 2, pad: int = 2):
+    """torch AvgPool1d(4, 2, padding=2) semantics (count_include_pad=True)."""
+    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    summed = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add, (1, window), (1, stride), "VALID"
+    )
+    return summed / window
+
+
+class Discriminator(nn.Module):
+    """MPD + MSD combined (reference pretrained_discriminator.py:21-40)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_stats: bool = False):
+        """y, y_hat: (B, T) waveforms. Returns (real_outs, fake_outs,
+        real_fmaps, fake_fmaps) across all 8 sub-discriminators."""
+        real_outs: List[jnp.ndarray] = []
+        fake_outs: List[jnp.ndarray] = []
+        real_fmaps: List[List[jnp.ndarray]] = []
+        fake_fmaps: List[List[jnp.ndarray]] = []
+
+        for p in self.periods:
+            d = DiscriminatorP(p, name=f"mpd_{p}")
+            ro, rf = d(y)
+            fo, ff = d(y_hat)
+            real_outs.append(ro)
+            fake_outs.append(fo)
+            real_fmaps.append(rf)
+            fake_fmaps.append(ff)
+
+        ys, yhs = y, y_hat
+        for i in range(3):
+            if i != 0:
+                ys = _avg_pool1d(ys)
+                yhs = _avg_pool1d(yhs)
+            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"msd_{i}")
+            ro, rf = d(ys, update_stats)
+            fo, ff = d(yhs, update_stats)
+            real_outs.append(ro)
+            fake_outs.append(fo)
+            real_fmaps.append(rf)
+            fake_fmaps.append(ff)
+
+        return real_outs, fake_outs, real_fmaps, fake_fmaps
+
+
+def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
+    """x2-weighted feature-matching L1 (reference models.py:279-285)."""
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2.0
+
+
+def discriminator_loss(real_outs, fake_outs) -> jnp.ndarray:
+    """LSGAN D loss (reference models.py:288-300)."""
+    loss = 0.0
+    for dr, dg in zip(real_outs, fake_outs):
+        loss += jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
+    return loss
+
+
+def generator_loss(fake_outs) -> jnp.ndarray:
+    """LSGAN G adversarial loss (reference models.py:303-310)."""
+    loss = 0.0
+    for dg in fake_outs:
+        loss += jnp.mean((1.0 - dg) ** 2)
+    return loss

@@ -1,0 +1,236 @@
+"""Model-library tests: conv parity vs torch, module shapes, end-to-end JETS."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from emotivoice_tpu.config import tiny_test_config
+from emotivoice_tpu.models.hifigan import (
+    Discriminator,
+    HiFiGANGenerator,
+    WNConv1d,
+    WNConvTranspose1d,
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+)
+from emotivoice_tpu.models.acoustic import PromptTTS
+from emotivoice_tpu.models.bert import StyleEncoder
+from emotivoice_tpu.models.jets import JETSGenerator
+from emotivoice_tpu.models.transformer import TransformerEncoder
+
+torch = pytest.importorskip("torch")
+
+
+def _set_wn_params(params, torch_mod, transposed=False):
+    """Copy torch weight-norm (g, v) into our param dict layout."""
+    g = torch_mod.parametrizations.weight.original0.detach().numpy()
+    v = torch_mod.parametrizations.weight.original1.detach().numpy()
+    b = torch_mod.bias.detach().numpy()
+    return {"v": jnp.asarray(v), "g": jnp.asarray(g), "b": jnp.asarray(b)}
+
+
+class TestConvParity:
+    def test_wnconv1d_matches_torch(self):
+        torch.manual_seed(0)
+        for groups, dilation, stride in [(1, 1, 1), (1, 3, 1), (4, 1, 2)]:
+            ci, co, k = 8, 16, 5
+            tconv = torch.nn.utils.parametrizations.weight_norm(
+                torch.nn.Conv1d(ci, co, k, stride=stride, dilation=dilation,
+                                groups=groups, padding=(k - 1) // 2 * dilation)
+            )
+            x = torch.randn(2, ci, 32)
+            ref = tconv(x).detach().numpy()
+
+            mod = WNConv1d(ci, co, k, stride=stride, dilation=dilation, groups=groups)
+            params = mod.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, ci)))
+            params = {"params": _set_wn_params(None, tconv)}
+            ours = mod.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+            np.testing.assert_allclose(
+                np.asarray(ours).transpose(0, 2, 1), ref, atol=2e-5
+            )
+
+    def test_wnconvtranspose1d_matches_torch(self):
+        torch.manual_seed(1)
+        for u, k in [(8, 16), (2, 4)]:
+            ci, co = 6, 4
+            tconv = torch.nn.utils.parametrizations.weight_norm(
+                torch.nn.ConvTranspose1d(ci, co, k, stride=u, padding=(k - u) // 2)
+            )
+            x = torch.randn(2, ci, 10)
+            ref = tconv(x).detach().numpy()
+
+            mod = WNConvTranspose1d(ci, co, k, stride=u, padding=(k - u) // 2)
+            params = {"params": _set_wn_params(None, tconv)}
+            ours = mod.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+            assert ours.shape[1] == 10 * u
+            np.testing.assert_allclose(
+                np.asarray(ours).transpose(0, 2, 1), ref, atol=2e-5
+            )
+
+
+class TestHiFiGAN:
+    def test_generator_upsamples_256x(self):
+        cfg = tiny_test_config()
+        gen = HiFiGANGenerator(cfg.vocoder)
+        mel = jnp.zeros((2, 13, cfg.vocoder.initial_channel))
+        params = gen.init(jax.random.PRNGKey(0), mel)
+        wav = gen.apply(params, mel)
+        assert wav.shape == (2, 13 * 256)
+        assert np.abs(np.asarray(wav)).max() <= 1.0
+
+    def test_discriminator_shapes_and_losses(self):
+        cfg = tiny_test_config()
+        disc = Discriminator()
+        t = cfg.train.segment_size * 256
+        y = jnp.asarray(np.random.RandomState(0).randn(2, t).astype(np.float32)) * 0.1
+        yh = y * 0.5
+        variables = disc.init(jax.random.PRNGKey(0), y, yh)
+        (ro, fo, rf, ff), new_vars = disc.apply(
+            variables, y, yh, update_stats=True, mutable=["spectral"]
+        )
+        assert len(ro) == 8 and len(fo) == 8  # 5 MPD + 3 MSD
+        d_loss = discriminator_loss(ro, fo)
+        g_loss = generator_loss(fo)
+        fm = feature_loss(rf, ff)
+        for val in (d_loss, g_loss, fm):
+            assert np.isfinite(float(val))
+        # spectral-norm u stats updated
+        flat_old = jax.tree_util.tree_leaves(variables["spectral"])
+        flat_new = jax.tree_util.tree_leaves(new_vars["spectral"])
+        assert any(
+            not np.allclose(a, b) for a, b in zip(flat_old, flat_new)
+        )
+
+
+class TestTransformer:
+    def test_mask_invariance(self):
+        """Padding content must not affect valid positions."""
+        cfg = tiny_test_config()
+        enc = TransformerEncoder(d_model=16, n_heads=2, n_layers=2, max_len=64)
+        x = np.random.RandomState(0).randn(1, 10, 16).astype(np.float32)
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        valid = jnp.asarray(np.arange(10)[None] < 6)
+        out1 = enc.apply(params, jnp.asarray(x), valid)
+        x2 = x.copy()
+        x2[:, 6:] = 99.0  # corrupt padding
+        out2 = enc.apply(params, jnp.asarray(x2), valid)
+        np.testing.assert_allclose(
+            np.asarray(out1)[:, :6], np.asarray(out2)[:, :6], atol=2e-5
+        )
+
+
+class TestPromptTTS:
+    def _inputs(self, cfg, b=2, t=11):
+        rng = np.random.RandomState(0)
+        tokens = jnp.asarray(rng.randint(0, cfg.am.n_vocab, (b, t)))
+        text_lens = jnp.asarray([t, t - 4])
+        speaker = jnp.asarray([1, 2])
+        style = jnp.asarray(rng.randn(b, cfg.am.bert_embedding).astype(np.float32))
+        content = jnp.asarray(rng.randn(b, cfg.am.bert_embedding).astype(np.float32))
+        return tokens, text_lens, speaker, style, content
+
+    def test_inference_branch(self):
+        cfg = tiny_test_config()
+        model = PromptTTS(cfg.am)
+        tokens, text_lens, speaker, style, content = self._inputs(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), tokens, text_lens, speaker, style, content,
+            max_frames=40,
+        )
+        out = model.apply(
+            params, tokens, text_lens, speaker, style, content, max_frames=40
+        )
+        assert out["dec_outputs"].shape == (2, 40, cfg.am.n_mels)
+        assert out["durations"].shape == tokens.shape
+        ml = np.asarray(out["output_lengths"])
+        assert (ml >= 1).all() and (ml <= 40).all()
+        # mel beyond each utterance's length is zeroed
+        mel = np.asarray(out["dec_outputs"])
+        for i in range(2):
+            assert np.allclose(mel[i, ml[i]:], 0.0)
+
+    def test_training_branch(self):
+        cfg = tiny_test_config()
+        model = PromptTTS(cfg.am)
+        tokens, text_lens, speaker, style, content = self._inputs(cfg)
+        rng = np.random.RandomState(1)
+        t_feats = 30
+        mel_t = jnp.asarray(rng.randn(2, t_feats, cfg.am.n_mels).astype(np.float32))
+        feats_lens = jnp.asarray([30, 18])
+        pitch = jnp.asarray(rng.randn(2, t_feats).astype(np.float32))
+        energy = jnp.asarray(rng.randn(2, t_feats).astype(np.float32))
+        params = model.init(
+            jax.random.PRNGKey(0), tokens, text_lens, speaker, style, content,
+            mel_targets=mel_t, feats_lengths=feats_lens,
+            pitch_targets=pitch, energy_targets=energy,
+        )
+        out = model.apply(
+            params, tokens, text_lens, speaker, style, content,
+            mel_targets=mel_t, feats_lengths=feats_lens,
+            pitch_targets=pitch, energy_targets=energy,
+        )
+        assert out["dec_outputs"].shape == (2, t_feats, cfg.am.n_mels)
+        ds = np.asarray(out["duration_targets"])
+        np.testing.assert_array_equal(ds.sum(1), np.asarray(feats_lens))
+        assert np.isfinite(float(out["bin_loss"]))
+        assert out["pitch_targets"].shape == tokens.shape
+
+
+class TestJETS:
+    def test_end_to_end_inference(self):
+        cfg = tiny_test_config()
+        model = JETSGenerator(cfg)
+        rng = np.random.RandomState(0)
+        tokens = jnp.asarray(rng.randint(0, cfg.am.n_vocab, (1, 7)))
+        args = (
+            tokens,
+            jnp.asarray([7]),
+            jnp.asarray([0]),
+            jnp.asarray(rng.randn(1, cfg.am.bert_embedding).astype(np.float32)),
+            jnp.asarray(rng.randn(1, cfg.am.bert_embedding).astype(np.float32)),
+        )
+        params = model.init(jax.random.PRNGKey(0), *args, max_frames=24)
+        out = model.apply(params, *args, max_frames=24)
+        assert out["wav_predictions"].shape == (1, 24 * 256)
+
+    def test_training_with_segments(self):
+        cfg = tiny_test_config()
+        model = JETSGenerator(cfg)
+        rng = np.random.RandomState(0)
+        b, t, t_feats = 2, 9, 24
+        tokens = jnp.asarray(rng.randint(0, cfg.am.n_vocab, (b, t)))
+        kwargs = dict(
+            mel_targets=jnp.asarray(
+                rng.randn(b, t_feats, cfg.am.n_mels).astype(np.float32)
+            ),
+            feats_lengths=jnp.asarray([24, 16]),
+            pitch_targets=jnp.asarray(rng.randn(b, t_feats).astype(np.float32)),
+            energy_targets=jnp.asarray(rng.randn(b, t_feats).astype(np.float32)),
+            segment_rng=jax.random.PRNGKey(7),
+        )
+        args = (
+            tokens,
+            jnp.asarray([9, 5]),
+            jnp.asarray([0, 1]),
+            jnp.asarray(rng.randn(b, cfg.am.bert_embedding).astype(np.float32)),
+            jnp.asarray(rng.randn(b, cfg.am.bert_embedding).astype(np.float32)),
+        )
+        params = model.init(jax.random.PRNGKey(0), *args, **kwargs)
+        out = model.apply(params, *args, **kwargs)
+        seg = cfg.train.segment_size
+        assert out["wav_predictions"].shape == (b, seg * 256)
+        assert out["z_start_idxs"].shape == (b,)
+
+
+class TestStyleEncoder:
+    def test_forward(self):
+        cfg = tiny_test_config()
+        enc = StyleEncoder(cfg.bert)
+        ids = jnp.asarray(np.random.RandomState(0).randint(0, cfg.bert.vocab_size, (2, 9)))
+        mask = jnp.ones((2, 9), jnp.int32)
+        params = enc.init(jax.random.PRNGKey(0), ids, attention_mask=mask)
+        out = enc.apply(params, ids, attention_mask=mask)
+        assert out["pooled_output"].shape == (2, cfg.bert.hidden_size)
+        assert out["emotion_outputs"].shape == (2, cfg.bert.emotion_n_labels)
