@@ -178,19 +178,36 @@ class SNConv1d(nn.Module):
         k, ci, co = self.kernel_size, self.in_features, self.features
         w = self.param("w", _normal_init(self.init_std), (co, ci // self.groups, k))
         b = self.param("b", nn.initializers.zeros, (co,))
-        u_var = self.variable(
-            "spectral", "u", lambda: np.random.RandomState(0).randn(co).astype(np.float32)
-        )
         w_mat = w.reshape(co, -1)
-        u = u_var.value
-        v = w_mat.T @ u
-        v = v / jnp.maximum(jnp.linalg.norm(v), self.eps)
-        u_new = w_mat @ v
-        u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), self.eps)
-        if update_stats and not self.is_initializing():
-            u_var.value = jax.lax.stop_gradient(u_new)
-        sigma = jnp.dot(jax.lax.stop_gradient(u_new), w_mat @ jax.lax.stop_gradient(v))
-        w_sn = w / jnp.maximum(sigma, self.eps)
+        # torch legacy spectral_norm semantics: sigma = u . (W v) from STORED
+        # u, v; one power iteration (v then u) before sigma in training mode.
+        rs = np.random.RandomState(0)
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: (lambda x_: x_ / np.linalg.norm(x_))(
+                rs.randn(co).astype(np.float32)
+            ),
+        )
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: (lambda x_: x_ / np.linalg.norm(x_))(
+                rs.randn(w_mat.shape[1]).astype(np.float32)
+            ),
+        )
+        u, v = u_var.value, v_var.value
+        if update_stats:
+            wm = jax.lax.stop_gradient(w_mat)
+            v = wm.T @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), self.eps)
+            u = wm @ v
+            u = u / jnp.maximum(jnp.linalg.norm(u), self.eps)
+            if not self.is_initializing():
+                u_var.value = u
+                v_var.value = v
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = jnp.dot(u, w_mat @ v)
+        w_sn = w / sigma
         kernel = jnp.transpose(w_sn, (2, 1, 0))
         y = jax.lax.conv_general_dilated(
             x,

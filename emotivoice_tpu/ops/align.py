@@ -180,6 +180,12 @@ def forward_sum_loss(
         [jnp.full((b, t_feats, 1), blank_logprob, log_p_attn.dtype), log_p_attn],
         axis=2,
     )
+    # The reference slices each item to its true text length before the
+    # log_softmax (loss.py:85-90); mask padded text columns equivalently.
+    col_valid = jnp.concatenate(
+        [jnp.ones((b, 1), bool), sequence_mask(text_lengths, t_text)], axis=1
+    )
+    padded = jnp.where(col_valid[:, None, :], padded, NEG_INF)
     logp = jax.nn.log_softmax(padded, axis=2)  # (B, Tf, 1+Tt)
 
     s = 2 * t_text + 1  # extended path states: blank,1,blank,2,...,N,blank

