@@ -53,29 +53,35 @@ class WNConv1d(nn.Module):
     use_weight_norm: bool = True
     init_std: float = 0.01
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         k, ci, co = self.kernel_size, self.in_features, self.features
-        v = self.param(
+        self.v = self.param(
             "v", _normal_init(self.init_std), (co, ci // self.groups, k)
         )
         if self.use_weight_norm:
-            g = self.param(
-                "g",
-                lambda rng, shape: _norm_except_dim0(v),
-                (co, 1, 1),
+            self.g = self.param(
+                "g", lambda rng, shape: _norm_except_dim0(self.v), (co, 1, 1)
             )
-            w = g * v / jnp.maximum(_norm_except_dim0(v), 1e-12)
-        else:
-            w = v
-        b = self.param("b", nn.initializers.zeros, (co,))
+        self.b = self.param("b", nn.initializers.zeros, (co,))
+
+    def folded(self) -> jnp.ndarray:
+        """Effective torch-layout weight (Co, Ci/g, K) with norm baked."""
+        if self.use_weight_norm:
+            return self.g * self.v / jnp.maximum(_norm_except_dim0(self.v), 1e-12)
+        return self.v
+
+    def folded_hio(self) -> jnp.ndarray:
+        """Effective kernel in lax HIO layout (K, Ci/g, Co)."""
+        return jnp.transpose(self.folded(), (2, 1, 0))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
         pad = self.padding
         if pad is None:
             pad = (k - 1) // 2 * self.dilation
-        kernel = jnp.transpose(w, (2, 1, 0))  # (K, Ci/g, Co)
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            self.folded_hio(),
             window_strides=(self.stride,),
             padding=[(pad, pad)],
             rhs_dilation=(self.dilation,),
@@ -83,7 +89,7 @@ class WNConv1d(nn.Module):
             feature_group_count=self.groups,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        return y + b
+        return y + self.b
 
 
 class WNConvTranspose1d(nn.Module):
@@ -222,14 +228,24 @@ class SNConv1d(nn.Module):
 
 
 class ResBlock1(nn.Module):
-    """MRF residual block (reference models.py:26-64)."""
+    """MRF residual block (reference models.py:26-64).
+
+    use_pallas=True routes each residual unit through the fused Pallas TPU
+    kernel (`ops/pallas/resblock.py`): both convs + leaky-ReLUs + residual
+    add execute in one VMEM-resident kernel, eliminating the intermediate
+    HBM round-trip that makes the late (small-channel, huge-T) vocoder
+    stages bandwidth-bound under stock XLA lowering.
+    """
 
     channels: int
     kernel_size: int
     dilations: Sequence[int]
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            return self._pallas_forward(x)
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = WNConv1d(
@@ -242,6 +258,23 @@ class ResBlock1(nn.Module):
                 name=f"convs2_{i}",
             )(xt)
             x = x + xt
+        return x
+
+    def _pallas_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        from emotivoice_tpu.ops.pallas.resblock import fused_residual_unit
+
+        c, k = self.channels, self.kernel_size
+        # Time tile sized so tile + two (K,C,C) weight sets stay under VMEM.
+        block_t = max(512, min(8192, (2 * 1024 * 1024) // (4 * c)))
+        for i, d in enumerate(self.dilations):
+            sub1 = WNConv1d(c, c, k, dilation=d, name=f"convs1_{i}")
+            sub2 = WNConv1d(c, c, k, dilation=1, name=f"convs2_{i}")
+            x = fused_residual_unit(
+                x,
+                sub1.folded_hio(), sub1.b,
+                sub2.folded_hio(), sub2.b,
+                k, d, block_t,
+            )
         return x
 
 
@@ -269,6 +302,7 @@ class HiFiGANGenerator(nn.Module):
     output (B, T * prod(upsample_rates)) waveform in (-1, 1)."""
 
     cfg: VocoderConfig
+    use_pallas: bool = False  # fused MRF kernels (TPU only)
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -291,8 +325,13 @@ class HiFiGANGenerator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
             ):
+                kw = (
+                    {"use_pallas": self.use_pallas}
+                    if resblock_cls is ResBlock1
+                    else {}
+                )
                 r = resblock_cls(
-                    out_ch, rk, rd, name=f"resblocks_{i * num_kernels + j}"
+                    out_ch, rk, rd, name=f"resblocks_{i * num_kernels + j}", **kw
                 )(x)
                 acc = r if acc is None else acc + r
             x = acc / num_kernels

@@ -21,10 +21,13 @@ from emotivoice_tpu.ops.segments import get_random_segments
 
 class JETSGenerator(nn.Module):
     cfg: EmotiVoiceConfig
+    use_pallas: bool = False  # fused vocoder MRF kernels (TPU only)
 
     def setup(self):
         self.am = PromptTTS(self.cfg.am)
-        self.generator = HiFiGANGenerator(self.cfg.vocoder)
+        self.generator = HiFiGANGenerator(
+            self.cfg.vocoder, use_pallas=self.use_pallas
+        )
 
     @property
     def upsample_factor(self) -> int:

@@ -104,6 +104,19 @@ def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
 
     app = FastAPI(title="emotivoice-tpu")
 
+    @app.get("/")
+    def demo():
+        from emotivoice_tpu.serving.demo import render_demo_page
+
+        return Response(
+            content=render_demo_page(sorted(service.speaker2id)),
+            media_type="text/html",
+        )
+
+    @app.get("/v1/voices")
+    def voices():
+        return {"voices": sorted(service.speaker2id)}
+
     @app.post("/v1/audio/speech")
     def speech(req: SpeechRequest):
         try:
@@ -153,13 +166,28 @@ def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
             self.wfile.write(data)
 
         def do_GET(self):
-            if self.path.rstrip("/") == "/healthz":
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(b'{"status":"ok"}')
+            path = self.path.rstrip("/")
+            if path == "/healthz":
+                self._reply(b'{"status":"ok"}', "application/json")
+            elif path == "" or path == "/":
+                from emotivoice_tpu.serving.demo import render_demo_page
+
+                page = render_demo_page(sorted(service.speaker2id))
+                self._reply(page.encode("utf-8"), "text/html; charset=utf-8")
+            elif path == "/v1/voices":
+                body = json.dumps(
+                    {"voices": sorted(service.speaker2id)}
+                ).encode()
+                self._reply(body, "application/json")
             else:
                 self.send_error(404)
+
+        def _reply(self, body: bytes, ctype: str):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def log_message(self, *args):
             pass

@@ -95,10 +95,14 @@ def train(
     validate_fn: Optional[Callable[[TrainState, int], None]] = None,
     mesh=None,
     example_batch: Optional[dict] = None,
+    warm_start_fn: Optional[Callable[[TrainState], TrainState]] = None,
 ):
     """Run joint AM+vocoder GAN training.
 
     batch_iter_fn: returns a fresh epoch iterator of collated numpy batches.
+    warm_start_fn: applied to the fresh state when no checkpoint exists —
+      the reference's `--load_pretrained_model` warm start
+      (train_am_vocoder_joint.py:269-276).
     """
     mesh = mesh or make_mesh()
     logger = MetricLogger(os.path.join(output_dir, "log"))
@@ -115,8 +119,11 @@ def train(
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
+    elif warm_start_fn is not None:
+        state = warm_start_fn(state)
+        print("warm-started from pretrained checkpoint")
 
-    step_fn = make_parallel_train_step(cfg, model, disc, steps_per_epoch)
+    step_fn = make_parallel_train_step(cfg, model, disc, mesh, steps_per_epoch)
 
     t_start = time.time()
     with mesh:

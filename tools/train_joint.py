@@ -24,6 +24,8 @@ def main():
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--pretrained-generator", default=None,
                    help="reference g_XXXXXXXX torch ckpt to warm-start from")
+    p.add_argument("--pretrained-discriminator", default=None,
+                   help="reference do_XXXXXXXX torch ckpt to warm-start from")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--total-steps", type=int, default=140000)
     p.add_argument("--cache-dir", default=None)
@@ -74,12 +76,51 @@ def main():
     )
     loader = lambda: BucketedLoader(dataset, args.batch_size)
 
+    warm_start_fn = None
+    if args.pretrained_generator:
+        from emotivoice_tpu.convert.from_torch import (
+            convert_discriminator,
+            convert_jets_generator,
+            grow_speaker_embedding,
+            load_torch_checkpoint,
+        )
+
+        g_ckpt = load_torch_checkpoint(args.pretrained_generator)
+        # reference prepare_for_training.py:91-97 — grow the speaker table
+        # for cloning BEFORE training, then warm-start
+        # (train_am_vocoder_joint.py:269-276).
+        base_cfg = cfg.replace(
+            am=cfg.am.__class__(
+                **{**cfg.am.__dict__, "n_speaker": len(speakers)}
+            )
+        )
+        g_params = convert_jets_generator(g_ckpt, base_cfg)
+        if args.new_speakers:
+            g_params = grow_speaker_embedding(g_params, args.new_speakers)
+        d_vars = None
+        if args.pretrained_discriminator:
+            d_vars = convert_discriminator(
+                load_torch_checkpoint(args.pretrained_discriminator)
+            )
+
+        def warm_start_fn(state):
+            if d_vars is None:
+                return state.replace(g_params=g_params)
+            return state.replace(
+                g_params=g_params,
+                d_params=d_vars["params"],
+                # spectral-norm u/v re-estimate in a few power iterations;
+                # keep fresh state for any keys the torch ckpt lacks
+                d_spectral=(d_vars["spectral"] or state.d_spectral),
+            )
+
     train(
         cfg,
         loader,
         args.output_dir,
         total_steps=args.total_steps,
         steps_per_epoch=max(len(dataset) // args.batch_size, 1),
+        warm_start_fn=warm_start_fn,
     )
 
 
