@@ -24,16 +24,10 @@ import numpy as np
 
 
 def resample_to_16k(src_path: str, dst_path: str):
-    from scipy.signal import resample_poly
-
-    from emotivoice_tpu.utils.audio_io import read_wav, write_wav
+    from emotivoice_tpu.utils.audio_io import read_wav, resample, write_wav
 
     sr, wav = read_wav(src_path)
-    if sr != 16000:
-        from math import gcd
-
-        g = gcd(16000, sr)
-        wav = resample_poly(wav, 16000 // g, sr // g)
+    wav = resample(wav, sr, 16000)
     write_wav(dst_path, np.clip(wav, -1.0, 1.0), 16000)
 
 
