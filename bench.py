@@ -44,17 +44,46 @@ def main():
             params, tokens, text_lengths, speaker, style, content,
             max_frames=max_frames,
         )
-        return out["wav_predictions"], out["output_lengths"]
+        wav = out["wav_predictions"]
+        # tiny reduction used as an execution fence (scalar D2H transfer):
+        # block_until_ready through a remote-device tunnel does not
+        # guarantee remote execution completed
+        return wav, out["output_lengths"], jnp.sum(wav[..., ::997])
 
     args = (params, tokens, text_lengths, speaker, style, content)
-    wav, lens = synthesize(*args)
-    jax.block_until_ready(wav)  # compile + warmup
+    wav, lens, fence = synthesize(*args)
+    float(fence)  # compile + warmup
 
+    # All iterations run inside ONE dispatch (lax.scan with a coupling
+    # carry serializes them), then a single scalar transfer fences; this
+    # amortizes the device-tunnel round trip out of the per-call time while
+    # still guaranteeing every pass actually executed.
     n_iters = 20
+    tokens_stack = jnp.asarray(
+        np.random.RandomState(1).randint(
+            0, cfg.am.n_vocab, (n_iters, b, t_text)
+        ),
+        jnp.int32,
+    )
+
+    @jax.jit
+    def run_chain(params, tokens_stack, text_lengths, speaker, style, content):
+        def body(carry, tok):
+            out = model.apply(
+                params, tok, text_lengths, speaker,
+                style + (1e-12 * carry).astype(style.dtype), content,
+                max_frames=max_frames,
+            )
+            s = jnp.sum(out["wav_predictions"][..., ::997])
+            return s, s
+
+        _, ss = jax.lax.scan(body, jnp.float32(0), tokens_stack)
+        return jnp.sum(ss)
+
+    chain_args = (params, tokens_stack, text_lengths, speaker, style, content)
+    float(run_chain(*chain_args))  # compile the chain
     start = time.perf_counter()
-    for _ in range(n_iters):
-        wav, lens = synthesize(*args)
-    jax.block_until_ready(wav)
+    float(run_chain(*chain_args))
     elapsed = time.perf_counter() - start
 
     sr = cfg.audio.sampling_rate

@@ -264,8 +264,9 @@ class ResBlock1(nn.Module):
         from emotivoice_tpu.ops.pallas.resblock import fused_residual_unit
 
         c, k = self.channels, self.kernel_size
-        # Time tile sized so tile + two (K,C,C) weight sets stay under VMEM.
-        block_t = max(512, min(8192, (2 * 1024 * 1024) // (4 * c)))
+        # Time tile sized so tile + two (K,C,C) weight sets stay under VMEM;
+        # multiple of 8 for TPU sublane tiling.
+        block_t = max(512, min(8192, (2 * 1024 * 1024) // (4 * c))) // 8 * 8
         for i, d in enumerate(self.dilations):
             sub1 = WNConv1d(c, c, k, dilation=d, name=f"convs1_{i}")
             sub2 = WNConv1d(c, c, k, dilation=1, name=f"convs2_{i}")

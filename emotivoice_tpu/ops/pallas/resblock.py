@@ -33,11 +33,13 @@ LRELU_SLOPE = 0.1
 
 
 def _lrelu(x, slope=LRELU_SLOPE):
-    return jnp.where(x >= 0, x, x * slope)
+    # max-form leaky ReLU (valid for 0<slope<1): avoids a float comparison,
+    # which Mosaic does not support on bf16 vectors
+    return jnp.maximum(x, x * slope)
 
 
 def _residual_unit_kernel(
-    x_ref,  # (block_t + 2*halo_total, C) input tile incl. halo
+    x_ref,  # (block_t + 2*hp, C) input tile incl. 8-aligned halo
     w1_ref,  # (K, C, C) dilated conv weights (HIO layout)
     b1_ref,  # (1, C)
     w2_ref,  # (K, C, C) plain conv weights
@@ -48,9 +50,11 @@ def _residual_unit_kernel(
     d: int,
     block_t: int,
     t_real: int,
+    hp: int,  # per-side tile padding, halo rounded up to a multiple of 8
 ):
     halo1 = (k - 1) // 2 * d  # dilated conv reach
     halo2 = (k - 1) // 2  # plain conv reach
+    off = hp - halo1 - halo2  # alignment slack at the tile start
     # Stage 1: dilated conv over lrelu(x); compute block_t + 2*halo2 rows so
     # stage 2 has its own halo without re-reading HBM.
     t1 = block_t + 2 * halo2
@@ -58,7 +62,7 @@ def _residual_unit_kernel(
 
     acc1 = jnp.zeros((t1, a.shape[1]), jnp.float32)
     for kk in range(k):
-        sl = a[kk * d : kk * d + t1, :]
+        sl = a[off + kk * d : off + kk * d + t1, :]
         acc1 += jnp.dot(sl, w1_ref[kk], preferred_element_type=jnp.float32)
     xt = acc1 + b1_ref[0][None, :]
 
@@ -80,7 +84,7 @@ def _residual_unit_kernel(
     xt2 = acc2 + b2_ref[0][None, :]
 
     # Residual add against the un-activated center of the input tile.
-    center = x_ref[halo1 + halo2 : halo1 + halo2 + block_t, :]
+    center = x_ref[hp : hp + block_t, :]
     o_ref[:] = (center + xt2).astype(o_ref.dtype)
 
 
@@ -98,26 +102,34 @@ def fused_residual_unit(
     b, t, c = x.shape
     halo1 = (k - 1) // 2 * d
     halo2 = (k - 1) // 2
-    halo = halo1 + halo2
+    # Per-side tile padding: halo rounded up to a multiple of 8 so the
+    # Element block's sublane dimension satisfies TPU tiling (block second-
+    # to-last dim must be 8-divisible).
+    hp = -(-(halo1 + halo2) // 8) * 8
 
     n_blocks = -(-t // block_t)
     t_pad = n_blocks * block_t
-    # Zero-pad: halo on both sides + tail padding to a whole block count.
-    xp = jnp.pad(x, ((0, 0), (halo, halo + (t_pad - t)), (0, 0)))
+    tile = block_t + 2 * hp
+    # Zero-pad (aligned halo both sides + tail), then materialize the
+    # overlapping tiles with a gather: TPU Pallas requires uniform Blocked
+    # specs, so halos are staged as an explicit (B, n_blocks, tile, C)
+    # array. The duplicated halo rows are <=2*hp/block_t (a few %) of x.
+    xp = jnp.pad(x, ((0, 0), (hp, hp + (t_pad - t)), (0, 0)))
+    idx = (
+        jnp.arange(n_blocks)[:, None] * block_t + jnp.arange(tile)[None, :]
+    )
+    xtiles = xp[:, idx, :]  # (B, n_blocks, tile, C)
 
     grid = (b, n_blocks)
     out = pl.pallas_call(
         functools.partial(
-            _residual_unit_kernel, k=k, d=d, block_t=block_t, t_real=t
+            _residual_unit_kernel, k=k, d=d, block_t=block_t, t_real=t, hp=hp
         ),
         grid=grid,
         in_specs=[
-            # Overlapping (haloed) tiles: Element dims take elementwise start
-            # indices, so tile ti covers [ti*block_t, ti*block_t + block + 2h)
-            # of the pre-padded input.
             pl.BlockSpec(
-                (pl.Squeezed(), pl.Element(block_t + 2 * halo), c),
-                lambda bi, ti: (bi, ti * block_t, 0),
+                (None, None, tile, c),
+                lambda bi, ti: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((k, c, c), lambda bi, ti: (0, 0, 0),
@@ -139,7 +151,7 @@ def fused_residual_unit(
             bytes_accessed=4 * (2 * b * t_pad * c + 2 * k * c * c),
             transcendentals=0,
         ),
-    )(xp, w1, b1[None, :], w2, b2[None, :])
+    )(xtiles, w1, b1[None, :], w2, b2[None, :])
     return out[:, :t, :]
 
 

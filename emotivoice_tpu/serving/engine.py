@@ -23,6 +23,9 @@ from emotivoice_tpu.models.jets import JETSGenerator
 # Mel-frame bucket ladder: ~x1.4 steps bound recompilation (SURVEY.md §7).
 DEFAULT_TEXT_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
 DEFAULT_MEL_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+# Batch is bucketed too — each distinct (batch, text, mel) triple is one
+# XLA program, so an unpadded batch dimension would recompile per size.
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
 def _bucket(x: int, ladder: Sequence[int]) -> int:
@@ -57,6 +60,7 @@ class SynthesisEngine:
         vocab: TokenVocab,
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         mel_buckets: Sequence[int] = DEFAULT_MEL_BUCKETS,
+        batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         frames_per_token: float = 8.0,
         dtype=jnp.float32,
     ):
@@ -66,6 +70,7 @@ class SynthesisEngine:
         self.model = JETSGenerator(cfg)
         self.text_buckets = tuple(text_buckets)
         self.mel_buckets = tuple(mel_buckets)
+        self.batch_buckets = tuple(batch_buckets)
         self.frames_per_token = frames_per_token
         self.hop = cfg.audio.hop_length
         self.sr = cfg.audio.sampling_rate
@@ -95,17 +100,19 @@ class SynthesisEngine:
         max_frames = _bucket(est_frames, self.mel_buckets)
 
         b = len(requests)
-        tokens = np.zeros((b, t_text), np.int32)
-        lengths = np.zeros((b,), np.int32)
-        for i, ids in enumerate(token_ids):
+        bb = _bucket(b, self.batch_buckets)
+        tokens = np.zeros((bb, t_text), np.int32)
+        lengths = np.ones((bb,), np.int32)  # pad rows: 1 token, speaker 0
+        speaker = np.zeros((bb,), np.int32)
+        style = np.zeros((bb, self.cfg.am.bert_embedding), np.float32)
+        content = np.zeros((bb, self.cfg.am.bert_embedding), np.float32)
+        for i, (r, ids) in enumerate(zip(requests, token_ids)):
             n = min(len(ids), t_text)
             tokens[i, :n] = ids[:n]
             lengths[i] = n
-        speaker = np.asarray([r.speaker_id for r in requests], np.int32)
-        style = np.stack([r.style_embedding for r in requests]).astype(np.float32)
-        content = np.stack([r.content_embedding for r in requests]).astype(
-            np.float32
-        )
+            speaker[i] = r.speaker_id
+            style[i] = r.style_embedding
+            content[i] = r.content_embedding
 
         fn = self._compiled(t_text, max_frames, float(alpha))
         wav, n_frames = fn(
@@ -128,8 +135,21 @@ class SynthesisEngine:
     def synthesize(self, request: SynthesisRequest) -> SynthesisResult:
         return self.synthesize_batch([request])[0]
 
-    def warmup(self, shapes: Optional[List[Tuple[int, int]]] = None):
-        """Pre-compile common bucket shapes."""
-        shapes = shapes or [(32, 256), (64, 512), (96, 768)]
-        for t_text, max_frames in shapes:
-            self._compiled(t_text, max_frames, 1.0)
+    def warmup(self, shapes: Optional[List[Tuple[int, int, int]]] = None):
+        """Pre-compile common (batch, text, mel) bucket shapes by running
+        them once on dummy inputs — jax.jit's executable cache is populated
+        by calls, not by building the wrapper, and the first compile in a
+        fresh process can take minutes (serving must not eat that on a
+        user request)."""
+        shapes = shapes or [(1, 32, 256), (1, 64, 512), (4, 64, 512)]
+        for b, t_text, max_frames in shapes:
+            fn = self._compiled(t_text, max_frames, 1.0)
+            out = fn(
+                self.params,
+                jnp.zeros((b, t_text), jnp.int32),
+                jnp.ones((b,), jnp.int32),
+                jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b, self.cfg.am.bert_embedding), jnp.float32),
+                jnp.zeros((b, self.cfg.am.bert_embedding), jnp.float32),
+            )
+            jax.block_until_ready(out)

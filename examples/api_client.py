@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Sample client for the OpenAI-compatible TTS endpoint.
+
+Counterpart of the reference's `HTTP_API_TtsDemo/` (a client demo for
+Youdao's hosted TTS HTTP API, `apidemo/TtsDemo.py`); this one targets the
+local `tools/serve.py` server. Stdlib only.
+
+Usage:
+  python examples/api_client.py --text "Hello world" --voice 13 \
+      --prompt Happy --out out.wav [--url http://localhost:8000]
+"""
+
+import argparse
+import json
+import sys
+import urllib.error
+import urllib.request
+
+
+def synthesize(url, text, voice, prompt="", speed=1.0, fmt="wav"):
+    body = json.dumps({
+        "input": text,
+        "voice": voice,
+        "prompt": prompt,
+        "speed": speed,
+        "response_format": fmt,
+    }).encode("utf-8")
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/v1/audio/speech",
+        data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        return resp.read()
+
+
+def list_voices(url):
+    with urllib.request.urlopen(f"{url.rstrip('/')}/v1/voices", timeout=30) as r:
+        return json.load(r)["voices"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--url", default="http://localhost:8000")
+    p.add_argument("--text", required=True)
+    p.add_argument("--voice", default="0")
+    p.add_argument("--prompt", default="")
+    p.add_argument("--speed", type=float, default=1.0)
+    p.add_argument("--format", default="wav")
+    p.add_argument("--out", default="out.wav")
+    args = p.parse_args()
+
+    try:
+        audio = synthesize(
+            args.url, args.text, args.voice, args.prompt, args.speed,
+            args.format,
+        )
+    except urllib.error.HTTPError as e:
+        print(f"HTTP {e.code}: {e.read().decode(errors='replace')[:200]}")
+        sys.exit(1)
+    with open(args.out, "wb") as f:
+        f.write(audio)
+    print(f"wrote {args.out} ({len(audio)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

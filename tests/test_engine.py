@@ -1,0 +1,82 @@
+"""SynthesisEngine: bucketing, batch padding, per-request trimming."""
+
+import numpy as np
+import pytest
+import jax
+
+from emotivoice_tpu.config import tiny_test_config
+from emotivoice_tpu.frontend.tokens import TokenVocab
+from emotivoice_tpu.models.jets import JETSGenerator
+from emotivoice_tpu.serving.engine import (
+    SynthesisEngine,
+    SynthesisRequest,
+    _bucket,
+)
+
+
+def test_bucket_ladder():
+    assert _bucket(1, (2, 4, 8)) == 2
+    assert _bucket(4, (2, 4, 8)) == 4
+    assert _bucket(5, (2, 4, 8)) == 8
+    assert _bucket(99, (2, 4, 8)) == 8
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_test_config()
+    vocab = TokenVocab.from_tokens(["_", "<sos/eos>", "a", "b", "c"])
+    cfg = cfg.replace(
+        am=cfg.am.__class__(**{**cfg.am.__dict__, "n_vocab": len(vocab)})
+    )
+    model = JETSGenerator(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8), np.int32),
+        np.asarray([8], np.int32),
+        np.zeros((1,), np.int32),
+        np.zeros((1, cfg.am.bert_embedding), np.float32),
+        np.zeros((1, cfg.am.bert_embedding), np.float32),
+        max_frames=64,
+    )
+    return SynthesisEngine(
+        cfg, params, vocab,
+        text_buckets=(8, 16), mel_buckets=(64, 128), batch_buckets=(1, 2, 4),
+    )
+
+
+def _req(engine, phonemes, speaker=0):
+    d = engine.cfg.am.bert_embedding
+    return SynthesisRequest(
+        phonemes=phonemes,
+        speaker_id=speaker,
+        style_embedding=np.zeros(d, np.float32),
+        content_embedding=np.zeros(d, np.float32),
+    )
+
+
+class TestEngine:
+    def test_returns_one_result_per_request(self, engine):
+        reqs = [_req(engine, ["<sos/eos>", "a", "b", "<sos/eos>"])] * 3
+        results = engine.synthesize_batch(reqs)
+        assert len(results) == 3  # batch padded to 4, results trimmed to 3
+        for r in results:
+            assert r.wav.ndim == 1
+            assert len(r.wav) == r.n_frames * engine.up
+
+    def test_batch_padding_does_not_change_results(self, engine):
+        req = _req(engine, ["<sos/eos>", "a", "b", "c", "<sos/eos>"])
+        solo = engine.synthesize_batch([req])[0]
+        padded = engine.synthesize_batch([req, req, req])[0]
+        assert solo.n_frames == padded.n_frames
+        np.testing.assert_allclose(solo.wav, padded.wav, atol=2e-4)
+
+    def test_compile_cache_reused_across_batch_sizes(self, engine):
+        engine.synthesize_batch(
+            [_req(engine, ["<sos/eos>", "a", "<sos/eos>"])] * 2
+        )
+        info = engine._compiled.cache_info()
+        # 2 and 3 requests both pad to batch bucket 4 -> same jitted fn
+        engine.synthesize_batch(
+            [_req(engine, ["<sos/eos>", "b", "<sos/eos>"])] * 3
+        )
+        assert engine._compiled.cache_info().hits > info.hits

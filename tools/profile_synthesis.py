@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Profiling harness: jax.profiler trace + per-stage timing of the
+synthesis path.
+
+The reference has no profiling support at all (SURVEY §5 — only wall-clock
+per-batch prints, train_am_vocoder_joint.py:317). This tool captures an XLA
+trace viewable in TensorBoard/Perfetto and reports per-stage wall times
+with block_until_ready fencing.
+
+Usage:
+  python tools/profile_synthesis.py --trace-dir /tmp/jax-trace \
+      [--frames 384] [--batch 8] [--iters 5]
+Then: tensorboard --logdir /tmp/jax-trace  (or load in ui.perfetto.dev)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--trace-dir", default="/tmp/jax-trace")
+    p.add_argument("--frames", type=int, default=384)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--text-len", type=int, default=96)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from emotivoice_tpu.config import EmotiVoiceConfig
+    from emotivoice_tpu.models.acoustic import PromptTTS
+    from emotivoice_tpu.models.hifigan import HiFiGANGenerator
+    from emotivoice_tpu.models.jets import JETSGenerator
+
+    cfg = EmotiVoiceConfig()
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+
+    b, t_text, max_frames = args.batch, args.text_len, args.frames
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(0, cfg.am.n_vocab, (b, t_text)), jnp.int32)
+    text_lengths = jnp.full((b,), t_text, jnp.int32)
+    speaker = jnp.asarray(rng.randint(0, cfg.am.n_speaker, (b,)), jnp.int32)
+    style = jnp.asarray(rng.randn(b, cfg.am.bert_embedding), jnp.float32)
+    content = jnp.asarray(rng.randn(b, cfg.am.bert_embedding), jnp.float32)
+    mel = jnp.asarray(rng.randn(b, max_frames, cfg.am.n_mels), jnp.float32)
+
+    model = JETSGenerator(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), tokens, text_lengths, speaker, style, content,
+        max_frames=max_frames,
+    )
+
+    # stage jits: AM alone, vocoder alone, full path
+    am = PromptTTS(cfg.am)
+    am_params = {"params": params["params"]["am"]}
+    voc = HiFiGANGenerator(cfg.vocoder)
+    voc_params = {"params": params["params"]["generator"]}
+
+    @jax.jit
+    def run_am(p, *a):
+        return am.apply(p, *a, max_frames=max_frames)["dec_outputs"]
+
+    @jax.jit
+    def run_voc(p, m):
+        return voc.apply(p, m)
+
+    @jax.jit
+    def run_full(p, *a):
+        return model.apply(p, *a, max_frames=max_frames)["wav_predictions"]
+
+    am_args = (tokens, text_lengths, speaker, style, content)
+
+    stages = {
+        "acoustic_model": lambda: run_am(am_params, *am_args),
+        "vocoder": lambda: run_voc(voc_params, mel),
+        "full_path": lambda: run_full(params, *am_args),
+    }
+
+    # warmup/compile
+    for name, fn in stages.items():
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        print(f"{name:16s} compile+first: {time.perf_counter()-t0:7.2f} s")
+
+    audio_s = b * max_frames * cfg.vocoder.upsample_factor / cfg.audio.sampling_rate
+    for name, fn in stages.items():
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:16s} {dt*1e3:8.2f} ms/call  ({audio_s/dt:8.1f} xRT)")
+
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(3):
+            out = run_full(params, *am_args)
+        jax.block_until_ready(out)
+    print(f"trace written to {args.trace_dir}")
+
+
+if __name__ == "__main__":
+    main()

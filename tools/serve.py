@@ -25,6 +25,8 @@ def main():
     p.add_argument("--lexicon", default=None)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip bucket pre-compilation at startup")
     args = p.parse_args()
 
     import jax
@@ -83,6 +85,11 @@ def main():
         embed_fn = lambda text: np.zeros(cfg.am.bert_embedding, np.float32)
 
     engine = SynthesisEngine(cfg, params, vocab)
+    if not args.no_warmup:
+        print("pre-compiling common bucket shapes (first compile in a "
+              "fresh process can take minutes)...")
+        engine.warmup()
+        print("warmup done")
     service = TTSService(
         engine,
         g2p_fn=lambda text: g2p_cn_en(text, lexicon),
