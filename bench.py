@@ -21,11 +21,15 @@ def main():
     from emotivoice_tpu.models.jets import JETSGenerator
 
     cfg = EmotiVoiceConfig()
-    model = JETSGenerator(cfg)
+    # bfloat16 compute (params f32, f32 accumulation, f32 waveform out):
+    # +22% over f32 on v5e; XLA's stock conv lowering beats the Pallas MRF
+    # kernel at these shapes (tools/bench_matrix.py), so Pallas stays off.
+    model = JETSGenerator(cfg, compute_dtype=jnp.bfloat16)
 
-    # Production-ish bucket: batch 8 utterances, 384 mel frames each
-    # (~6.1 s of audio per utterance at 16 kHz / hop 256).
-    b, t_text, max_frames = 8, 96, 384
+    # Production-ish bucket: batch 16 utterances, 384 mel frames each
+    # (~6.1 s of audio per utterance at 16 kHz / hop 256); throughput
+    # saturates at b>=16 (b=32 is within noise of b=16).
+    b, t_text, max_frames = 16, 96, 384
     rng = np.random.RandomState(0)
     tokens = jnp.asarray(rng.randint(0, cfg.am.n_vocab, (b, t_text)), jnp.int32)
     text_lengths = jnp.full((b,), t_text, jnp.int32)
@@ -33,7 +37,7 @@ def main():
     style = jnp.asarray(rng.randn(b, cfg.am.bert_embedding), jnp.float32)
     content = jnp.asarray(rng.randn(b, cfg.am.bert_embedding), jnp.float32)
 
-    params = model.init(
+    params = JETSGenerator(cfg).init(
         jax.random.PRNGKey(0), tokens, text_lengths, speaker, style, content,
         max_frames=max_frames,
     )

@@ -29,7 +29,20 @@ def contains_chinese(text: str) -> bool:
     return RE_CHINESE.search(text) is not None
 
 
-def g2p_cn_en(text: str, lexicon: Optional[Dict[str, List[str]]] = None) -> str:
+def g2p_cn_en(
+    text: str,
+    lexicon: Optional[Dict[str, List[str]]] = None,
+    english_numbers: bool = False,
+) -> str:
+    # Reference policy (frontend.py:25): digits always become Chinese
+    # numerals. ``english_numbers=True`` expands them to English words
+    # instead when the text contains no Chinese (opt-in improvement).
+    if english_numbers and not contains_chinese(text):
+        from emotivoice_tpu.frontend.numbers_en import (
+            normalize_numbers as normalize_numbers_en,
+        )
+
+        text = normalize_numbers_en(text)
     text = normalize_numbers(text)
     parts = [p for p in RE_SEGMENT.split(text) if p]
     out: List[str] = ["<sos/eos>"]

@@ -43,14 +43,17 @@ from emotivoice_tpu.utils.masks import sequence_mask
 
 class PromptTTS(nn.Module):
     cfg: AcousticConfig
+    dtype: Optional[Any] = None  # compute dtype (bf16 inference); params f32
 
     def setup(self):
         c = self.cfg
         self.src_word_emb = nn.Embed(
-            c.n_vocab, c.hidden, embedding_init=nn.initializers.normal(1.0)
+            c.n_vocab, c.hidden, embedding_init=nn.initializers.normal(1.0),
+            dtype=self.dtype,
         )
         self.spk_tokenizer = nn.Embed(
-            c.n_speaker, c.hidden, embedding_init=nn.initializers.normal(1.0)
+            c.n_speaker, c.hidden, embedding_init=nn.initializers.normal(1.0),
+            dtype=self.dtype,
         )
         self.encoder = TransformerEncoder(
             d_model=c.hidden,
@@ -59,6 +62,7 @@ class PromptTTS(nn.Module):
             kernel_size=c.encoder_kernel_size,
             dropout_rate=c.encoder_p_dropout,
             max_len=c.max_pe_len,
+            dtype=self.dtype,
             name="encoder",
         )
         self.decoder = TransformerEncoder(
@@ -68,35 +72,41 @@ class PromptTTS(nn.Module):
             kernel_size=c.decoder_kernel_size,
             dropout_rate=c.decoder_p_dropout,
             max_len=c.max_pe_len,
+            dtype=self.dtype,
             name="decoder",
         )
-        self.embed_projection1 = nn.Dense(c.hidden)
+        self.embed_projection1 = nn.Dense(c.hidden, dtype=self.dtype)
         self.duration_predictor = DurationPredictor(
             n_layers=c.duration_n_layers,
             n_chans=c.variance_n_hidden,
             kernel_size=c.duration_kernel_size,
             dropout_rate=c.duration_p_dropout,
+            dtype=self.dtype,
         )
         self.pitch_predictor = VariancePredictor(
             n_layers=c.variance_n_layers,
             n_chans=c.variance_n_hidden,
             kernel_size=c.variance_kernel_size,
             dropout_rate=c.variance_p_dropout,
+            dtype=self.dtype,
         )
         self.energy_predictor = VariancePredictor(
             n_layers=c.energy_n_layers,
             n_chans=c.variance_n_hidden,
             kernel_size=c.energy_kernel_size,
             dropout_rate=c.variance_p_dropout,
+            dtype=self.dtype,
         )
         self.pitch_embed = VarianceEmbedding(
-            c.hidden, c.variance_embed_kernel_size, c.variance_embed_p_dropout
+            c.hidden, c.variance_embed_kernel_size, c.variance_embed_p_dropout,
+            dtype=self.dtype,
         )
         self.energy_embed = VarianceEmbedding(
-            c.hidden, c.variance_embed_kernel_size, c.variance_embed_p_dropout
+            c.hidden, c.variance_embed_kernel_size, c.variance_embed_p_dropout,
+            dtype=self.dtype,
         )
         self.alignment_module = AlignmentModule(adim=c.hidden)
-        self.to_mel = nn.Dense(c.n_mels)
+        self.to_mel = nn.Dense(c.n_mels, dtype=self.dtype)
 
     def _condition(
         self,
@@ -108,6 +118,9 @@ class PromptTTS(nn.Module):
         deterministic,
     ):
         b, t = tokens.shape
+        if self.dtype is not None:
+            style_embedding = style_embedding.astype(self.dtype)
+            content_embedding = content_embedding.astype(self.dtype)
         x = self.src_word_emb(tokens)
         x = self.encoder(x, text_valid, deterministic)
         spk = self.spk_tokenizer(speaker)[:, None, :]

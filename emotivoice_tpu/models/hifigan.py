@@ -79,9 +79,11 @@ class WNConv1d(nn.Module):
         pad = self.padding
         if pad is None:
             pad = (k - 1) // 2 * self.dilation
+        # Kernel/bias follow the activation dtype (bf16 compute casts the f32
+        # folded weight once at trace time; accumulation stays f32 below).
         y = jax.lax.conv_general_dilated(
             x,
-            self.folded_hio(),
+            self.folded_hio().astype(x.dtype),
             window_strides=(self.stride,),
             padding=[(pad, pad)],
             rhs_dilation=(self.dilation,),
@@ -89,7 +91,7 @@ class WNConv1d(nn.Module):
             feature_group_count=self.groups,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        return y + self.b
+        return y + self.b.astype(x.dtype)
 
 
 class WNConvTranspose1d(nn.Module):
@@ -121,14 +123,14 @@ class WNConvTranspose1d(nn.Module):
         pad = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(x.dtype),
             window_strides=(1,),
             padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        return y + b
+        return y + b.astype(x.dtype)
 
 
 class WNConv2d(nn.Module):
@@ -264,16 +266,24 @@ class ResBlock1(nn.Module):
         from emotivoice_tpu.ops.pallas.resblock import fused_residual_unit
 
         c, k = self.channels, self.kernel_size
-        # Time tile sized so tile + two (K,C,C) weight sets stay under VMEM;
-        # multiple of 8 for TPU sublane tiling.
-        block_t = max(512, min(8192, (2 * 1024 * 1024) // (4 * c))) // 8 * 8
+        # Time tile sized to VMEM: Mosaic materializes ~k shifted copies of
+        # the activation tile per conv stage (unrolled taps), and the lane
+        # dim pads to 128, so the live-buffer footprint is roughly
+        # (k+2) * block_t * max(c,128) * 4 bytes. A ~10 MB budget keeps the
+        # double-buffered pipeline under the 16 MB VMEM on every
+        # (c, k, d) the HiFi-GAN MRF uses (verified on v5e: c=256 k=11
+        # compiles at 1024 rows but not 2048).
+        c_eff = max(c, 128)
+        budget = 10 * 1024 * 1024
+        block_t = budget // (4 * c_eff * (k + 2)) // 256 * 256
+        block_t = max(512, min(8192, block_t))
         for i, d in enumerate(self.dilations):
             sub1 = WNConv1d(c, c, k, dilation=d, name=f"convs1_{i}")
             sub2 = WNConv1d(c, c, k, dilation=1, name=f"convs2_{i}")
             x = fused_residual_unit(
                 x,
-                sub1.folded_hio(), sub1.b,
-                sub2.folded_hio(), sub2.b,
+                sub1.folded_hio().astype(x.dtype), sub1.b.astype(x.dtype),
+                sub2.folded_hio().astype(x.dtype), sub2.b.astype(x.dtype),
                 k, d, block_t,
             )
         return x
@@ -304,10 +314,13 @@ class HiFiGANGenerator(nn.Module):
 
     cfg: VocoderConfig
     use_pallas: bool = False  # fused MRF kernels (TPU only)
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        if self.dtype is not None:
+            mel = mel.astype(self.dtype)
         num_kernels = len(c.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if c.resblock == "1" else ResBlock2
 
@@ -341,7 +354,8 @@ class HiFiGANGenerator(nn.Module):
         # (models.py:133 F.leaky_relu without slope arg).
         x = nn.leaky_relu(x, 0.01)
         x = WNConv1d(in_ch, 1, 7, padding=3, name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+        # Waveform always leaves in f32 (host int16 conversion downstream).
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 class DiscriminatorP(nn.Module):

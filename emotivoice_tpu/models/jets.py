@@ -22,11 +22,15 @@ from emotivoice_tpu.ops.segments import get_random_segments
 class JETSGenerator(nn.Module):
     cfg: EmotiVoiceConfig
     use_pallas: bool = False  # fused vocoder MRF kernels (TPU only)
+    # Compute dtype (e.g. jnp.bfloat16 for MXU inference). Params stay f32;
+    # the waveform always leaves in f32. None = full f32 (training/parity).
+    compute_dtype: Optional[Any] = None
 
     def setup(self):
-        self.am = PromptTTS(self.cfg.am)
+        self.am = PromptTTS(self.cfg.am, dtype=self.compute_dtype)
         self.generator = HiFiGANGenerator(
-            self.cfg.vocoder, use_pallas=self.use_pallas
+            self.cfg.vocoder, use_pallas=self.use_pallas,
+            dtype=self.compute_dtype,
         )
 
     @property

@@ -14,7 +14,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -23,6 +23,12 @@ import numpy as np
 from emotivoice_tpu.utils.masks import NEG_INF
 
 LN_EPS = 1e-12
+
+# `dtype` on every module below is the *compute* dtype (flax convention):
+# params are stored f32 and cast at use, so bf16 inference on the MXU needs no
+# checkpoint changes. None keeps full f32. LayerNorm statistics stay f32
+# internally regardless (flax promotes stats to at-least-f32).
+Dtype = Any
 
 
 def sinusoid_table(max_len: int, d_model: int, dtype=np.float32) -> np.ndarray:
@@ -43,13 +49,16 @@ class ScaledPositionalEncoding(nn.Module):
     d_model: int
     max_len: int = 5000
     dropout_rate: float = 0.1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         alpha = self.param("alpha", nn.initializers.ones, ())
         t = x.shape[1]
         pe = jnp.asarray(sinusoid_table(max(self.max_len, t), self.d_model))[:t]
-        x = x + alpha * pe[None, :, :].astype(x.dtype)
+        x = x + alpha.astype(x.dtype) * pe[None, :, :].astype(x.dtype)
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
 
@@ -59,6 +68,7 @@ class MultiHeadedAttention(nn.Module):
     n_heads: int
     d_model: int
     dropout_rate: float = 0.0
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
@@ -68,7 +78,7 @@ class MultiHeadedAttention(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         d_k = self.d_model // self.n_heads
-        dense = lambda name: nn.Dense(self.d_model, name=name)
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
         q = dense("linear_q")(x)
         k = dense("linear_k")(x)
         v = dense("linear_v")(x)
@@ -95,7 +105,7 @@ class MultiHeadedAttention(nn.Module):
         )
         b, t = out.shape[:2]
         out = out.reshape(b, t, self.d_model).astype(x.dtype)
-        return nn.Dense(self.d_model, name="linear_out")(out)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="linear_out")(out)
 
 
 class Conv1dSame(nn.Module):
@@ -105,6 +115,7 @@ class Conv1dSame(nn.Module):
     kernel_size: int
     dilation: int = 1
     use_bias: bool = True
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -115,6 +126,7 @@ class Conv1dSame(nn.Module):
             kernel_dilation=(self.dilation,),
             padding=[(pad, pad)],
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -127,13 +139,16 @@ class ConvFFN(nn.Module):
     d_hidden: int
     kernel_size: int
     dropout_rate: float
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = Conv1dSame(self.d_hidden, self.kernel_size, name="w_1")(x)
+        h = Conv1dSame(self.d_hidden, self.kernel_size, dtype=self.dtype,
+                       name="w_1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return Conv1dSame(self.d_model, self.kernel_size, name="w_2")(h)
+        return Conv1dSame(self.d_model, self.kernel_size, dtype=self.dtype,
+                          name="w_2")(h)
 
 
 class EncoderLayer(nn.Module):
@@ -145,19 +160,21 @@ class EncoderLayer(nn.Module):
     kernel_size: int
     dropout_rate: float
     attention_dropout_rate: float
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, valid_mask, deterministic: bool = True):
-        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         h = MultiHeadedAttention(
-            self.n_heads, self.d_model, self.attention_dropout_rate, name="self_attn"
+            self.n_heads, self.d_model, self.attention_dropout_rate,
+            dtype=self.dtype, name="self_attn"
         )(h, valid_mask, deterministic)
         x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = ConvFFN(
             self.d_model, self.d_ffn, self.kernel_size, self.dropout_rate,
-            name="feed_forward",
+            dtype=self.dtype, name="feed_forward",
         )(h, deterministic)
         x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return x
@@ -172,6 +189,7 @@ class TransformerEncoder(nn.Module):
     kernel_size: int = 3
     dropout_rate: float = 0.1
     max_len: int = 5000
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
@@ -181,7 +199,8 @@ class TransformerEncoder(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         x = ScaledPositionalEncoding(
-            self.d_model, self.max_len, self.dropout_rate, name="pos_enc"
+            self.d_model, self.max_len, self.dropout_rate, dtype=self.dtype,
+            name="pos_enc"
         )(x, deterministic)
         for i in range(self.n_layers):
             x = EncoderLayer(
@@ -191,6 +210,7 @@ class TransformerEncoder(nn.Module):
                 self.kernel_size,
                 self.dropout_rate,
                 self.dropout_rate,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, valid_mask, deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="after_norm")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="after_norm")(x)

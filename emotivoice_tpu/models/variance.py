@@ -11,7 +11,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,13 +25,15 @@ class _ConvReluLnStack(nn.Module):
     n_chans: int
     kernel_size: int
     dropout_rate: float
+    dtype: Optional[Any] = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.n_layers):
-            x = Conv1dSame(self.n_chans, self.kernel_size, name=f"conv_{i}")(x)
+            x = Conv1dSame(self.n_chans, self.kernel_size, dtype=self.dtype,
+                           name=f"conv_{i}")(x)
             x = nn.relu(x)
-            x = nn.LayerNorm(epsilon=LN_EPS, name=f"ln_{i}")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
 
@@ -44,6 +46,7 @@ class DurationPredictor(nn.Module):
     kernel_size: int = 3
     dropout_rate: float = 0.5
     offset: float = 1.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -56,9 +59,9 @@ class DurationPredictor(nn.Module):
             x = x * valid_mask[..., None].astype(x.dtype)
         h = _ConvReluLnStack(
             self.n_layers, self.n_chans, self.kernel_size, self.dropout_rate,
-            name="conv",
+            dtype=self.dtype, name="conv",
         )(x, deterministic)
-        out = nn.Dense(1, name="linear")(h)[..., 0]  # log-duration
+        out = nn.Dense(1, dtype=self.dtype, name="linear")(h)[..., 0]  # log-dur
         if valid_mask is not None:
             out = out * valid_mask.astype(out.dtype)
         return out
@@ -67,6 +70,7 @@ class DurationPredictor(nn.Module):
     def to_durations(log_d: jnp.ndarray, offset: float = 1.0) -> jnp.ndarray:
         """Inference transform: clamp(round(exp(x) - offset), 0)
         (reference variance.py:46-51)."""
+        log_d = log_d.astype(jnp.float32)  # exp/round robust under bf16 compute
         return jnp.clip(jnp.round(jnp.exp(log_d) - offset), 0, None)
 
 
@@ -77,6 +81,7 @@ class VariancePredictor(nn.Module):
     n_chans: int = 384
     kernel_size: int = 3
     dropout_rate: float = 0.5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -89,9 +94,9 @@ class VariancePredictor(nn.Module):
             x = x * valid_mask[..., None].astype(x.dtype)
         h = _ConvReluLnStack(
             self.n_layers, self.n_chans, self.kernel_size, self.dropout_rate,
-            name="conv",
+            dtype=self.dtype, name="conv",
         )(x, deterministic)
-        out = nn.Dense(1, name="linear")(h)[..., 0]
+        out = nn.Dense(1, dtype=self.dtype, name="linear")(h)[..., 0]
         if valid_mask is not None:
             out = out * valid_mask.astype(out.dtype)
         return out
@@ -104,11 +109,13 @@ class VarianceEmbedding(nn.Module):
     features: int
     kernel_size: int = 9
     dropout_rate: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, track: jnp.ndarray, deterministic: bool = True):
         # track: (B, T) scalar values -> (B, T, features)
-        h = Conv1dSame(self.features, self.kernel_size, name="conv")(track[..., None])
+        h = Conv1dSame(self.features, self.kernel_size, dtype=self.dtype,
+                       name="conv")(track[..., None])
         return nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
 
 

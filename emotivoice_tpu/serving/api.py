@@ -39,12 +39,16 @@ class TTSService:
         embed_fn: Callable[[str], np.ndarray],
         speaker2id: Dict[str, int],
         default_prompt: str = "",
+        longform_chars: int = 120,
     ):
         self.engine = engine
         self.g2p_fn = g2p_fn
         self.embed_fn = embed_fn
         self.speaker2id = speaker2id
         self.default_prompt = default_prompt
+        # Inputs longer than this are sentence-chunked and batched through
+        # the engine in one dispatch (see frontend.segment).
+        self.longform_chars = longform_chars
         self._lock = threading.Lock()
 
     def speech(
@@ -58,18 +62,35 @@ class TTSService:
         if voice not in self.speaker2id:
             raise KeyError(f"unknown voice {voice!r}")
         prompt = prompt or self.default_prompt or input_text
-        phonemes = self.g2p_fn(input_text).split()
-        req = SynthesisRequest(
-            phonemes=phonemes,
-            speaker_id=self.speaker2id[voice],
-            style_embedding=self.embed_fn(prompt),
-            content_embedding=self.embed_fn(input_text),
-            alpha=1.0 / max(speed, 1e-3),
-        )
+        from emotivoice_tpu.frontend.segment import split_sentences
+
+        if len(input_text) > self.longform_chars:
+            chunks = split_sentences(input_text, self.longform_chars) or [
+                input_text
+            ]
+        else:
+            chunks = [input_text]
+        style = self.embed_fn(prompt)
+        alpha = 1.0 / max(speed, 1e-3)
+        reqs = [
+            SynthesisRequest(
+                phonemes=self.g2p_fn(c).split(),
+                speaker_id=self.speaker2id[voice],
+                style_embedding=style,
+                content_embedding=self.embed_fn(c),
+                alpha=alpha,
+            )
+            for c in chunks
+        ]
         with self._lock:
-            result = self.engine.synthesize(req)
+            results = self.engine.synthesize_batch(reqs)
+        wav = (
+            results[0].wav
+            if len(results) == 1
+            else np.concatenate([r.wav for r in results])
+        )
         buf = io.BytesIO()
-        write_wav(buf, result.wav, self.engine.sr)
+        write_wav(buf, wav, self.engine.sr)
         data = buf.getvalue()
         if response_format not in ("wav", "", None):
             data = _transcode(data, response_format)

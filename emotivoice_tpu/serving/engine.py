@@ -63,11 +63,18 @@ class SynthesisEngine:
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         frames_per_token: float = 8.0,
         dtype=jnp.float32,
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.params = params
         self.vocab = vocab
-        self.model = JETSGenerator(cfg)
+        # dtype is the *compute* dtype: bfloat16 halves HBM traffic and
+        # doubles MXU throughput at inference; params stay f32 and the
+        # waveform always comes back f32 (see models.jets.JETSGenerator).
+        compute = None if dtype in (None, jnp.float32) else dtype
+        self.model = JETSGenerator(
+            cfg, compute_dtype=compute, use_pallas=use_pallas
+        )
         self.text_buckets = tuple(text_buckets)
         self.mel_buckets = tuple(mel_buckets)
         self.batch_buckets = tuple(batch_buckets)
@@ -92,6 +99,13 @@ class SynthesisEngine:
     ) -> List[SynthesisResult]:
         if not requests:
             return []
+        # A batch larger than the biggest bucket runs as several dispatches.
+        cap = self.batch_buckets[-1]
+        if len(requests) > cap:
+            out: List[SynthesisResult] = []
+            for i in range(0, len(requests), cap):
+                out.extend(self.synthesize_batch(requests[i : i + cap]))
+            return out
         alpha = requests[0].alpha
         token_ids = [self.vocab.encode(r.phonemes) for r in requests]
         max_len = max(len(t) for t in token_ids)

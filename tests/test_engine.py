@@ -80,3 +80,61 @@ class TestEngine:
             [_req(engine, ["<sos/eos>", "b", "<sos/eos>"])] * 3
         )
         assert engine._compiled.cache_info().hits > info.hits
+
+
+class TestBF16Engine:
+    def test_bf16_close_to_f32(self, engine):
+        import jax.numpy as jnp
+
+        e16 = SynthesisEngine(
+            engine.cfg, engine.params, engine.vocab,
+            text_buckets=(8, 16), mel_buckets=(64, 128),
+            batch_buckets=(1, 2, 4), dtype=jnp.bfloat16,
+        )
+        req = _req(engine, ["<sos/eos>", "a", "b", "c", "<sos/eos>"])
+        r32 = engine.synthesize_batch([req])[0]
+        r16 = e16.synthesize_batch([req])[0]
+        assert r16.wav.dtype == np.float32
+        # durations may shift a frame under bf16 rounding
+        assert abs(r16.n_frames - r32.n_frames) <= 2
+        n = min(len(r16.wav), len(r32.wav))
+        if n:
+            assert np.abs(r16.wav[:n] - r32.wav[:n]).max() < 0.05
+
+
+class TestServiceLongform:
+    def _service(self, engine, longform_chars):
+        from emotivoice_tpu.serving.api import TTSService
+
+        d = engine.cfg.am.bert_embedding
+        return TTSService(
+            engine,
+            g2p_fn=lambda text: "<sos/eos> a b <sos/eos>",
+            embed_fn=lambda text: np.zeros(d, np.float32),
+            speaker2id={"0": 0},
+            longform_chars=longform_chars,
+        )
+
+    def test_long_input_is_chunked_and_concatenated(self, engine):
+        svc_long = self._service(engine, longform_chars=10)
+        svc_one = self._service(engine, longform_chars=10_000)
+        text = "One sentence. Two sentence. Three sentence."
+        multi = svc_long.speech(text, "0")
+        single = svc_one.speech(text, "0")
+        # 3 chunks of the same phonemes -> ~3x the single-pass audio
+        assert len(multi) > 2 * (len(single) - 44)  # 44-byte wav header
+
+    def test_split_sentences(self):
+        from emotivoice_tpu.frontend.segment import split_sentences
+
+        assert split_sentences("") == []
+        assert split_sentences("Hello world.") == ["Hello world."]
+        got = split_sentences("你好。世界！How are you? Fine.", max_chars=6)
+        assert got[0] == "你好。"
+        assert "".join(got).replace(" ", "") == "你好。世界！Howareyou?Fine."
+        # merging respects max_chars
+        merged = split_sentences("a. b. c. d.", max_chars=120)
+        assert merged == ["a. b. c. d."]
+        # over-long sentence hard-splits at soft punctuation
+        longs = split_sentences("x" * 50 + "," + "y" * 50, max_chars=60)
+        assert len(longs) == 2

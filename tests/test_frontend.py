@@ -185,3 +185,44 @@ class TestTokenVocab:
             if t not in ours and not t.startswith("uncased")
         ]
         assert missing == [], missing
+
+
+class TestEnglishNumbers:
+    def test_cardinals(self):
+        from emotivoice_tpu.frontend.numbers_en import number_to_words
+
+        assert number_to_words(0) == "zero"
+        assert number_to_words(14) == "fourteen"
+        assert number_to_words(42) == "forty two"
+        assert number_to_words(100) == "one hundred"
+        assert number_to_words(1234) == "one thousand two hundred thirty four"
+        assert number_to_words(1_000_000) == "one million"
+
+    def test_ordinals_money_decimals(self):
+        from emotivoice_tpu.frontend.numbers_en import normalize_numbers
+
+        assert normalize_numbers("the 1st and 22nd") == (
+            "the first and twenty second"
+        )
+        assert normalize_numbers("$2.50") == "two dollars fifty cents"
+        assert normalize_numbers("$1") == "one dollar"
+        assert normalize_numbers("3.14") == "three point one four"
+        assert normalize_numbers("in 1984") == "in nineteen eighty four"
+        assert normalize_numbers("1,000") == "one thousand"
+
+    def test_g2p_english_numbers_flag(self):
+        from emotivoice_tpu.frontend.mixed import g2p_cn_en
+
+        en = g2p_cn_en("42 cats", english_numbers=True)
+        # "forty two cats" is pure English -> no Chinese phonemes
+        assert "cn_eng_sp" not in en and "eng_cn_sp" not in en
+        assert len(en.split()) > 6  # numbers actually expanded to words
+        try:
+            # default keeps reference behavior: digits -> Chinese numerals
+            # (which needs the pypinyin dictionary, as in the reference)
+            default = g2p_cn_en("42 cats")
+            assert default != en
+        except RuntimeError:
+            import pytest
+
+            pytest.skip("pypinyin not installed")

@@ -25,6 +25,10 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="compute dtype (bf16 = faster TPU inference)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas MRF vocoder kernels (TPU only)")
     p.add_argument("--style-encoder", default=None)
     p.add_argument("--tokenlist", default=None)
     p.add_argument("--test-file", required=True)
@@ -78,7 +82,13 @@ def main():
         print("WARNING: no style encoder; using zero embeddings")
         embed_fn = lambda text: np.zeros(cfg.am.bert_embedding, np.float32)
 
-    engine = SynthesisEngine(cfg, params, vocab)
+    import jax.numpy as jnp
+
+    engine = SynthesisEngine(
+        cfg, params, vocab,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        use_pallas=args.use_pallas,
+    )
     os.makedirs(args.output_dir, exist_ok=True)
 
     requests, names = [], []
