@@ -40,6 +40,7 @@ class TTSService:
         speaker2id: Dict[str, int],
         default_prompt: str = "",
         longform_chars: int = 120,
+        batching: bool = True,
     ):
         self.engine = engine
         self.g2p_fn = g2p_fn
@@ -49,16 +50,17 @@ class TTSService:
         # Inputs longer than this are sentence-chunked and batched through
         # the engine in one dispatch (see frontend.segment).
         self.longform_chars = longform_chars
+        # Cross-request micro-batching: concurrent requests aggregate into
+        # one device dispatch (serving/batcher.py). Falls back to a plain
+        # lock when disabled.
+        self._batcher = None
+        if batching:
+            from emotivoice_tpu.serving.batcher import MicroBatcher
+
+            self._batcher = MicroBatcher(engine)
         self._lock = threading.Lock()
 
-    def speech(
-        self,
-        input_text: str,
-        voice: str,
-        prompt: str = "",
-        speed: float = 1.0,
-        response_format: str = "wav",
-    ) -> bytes:
+    def _build_requests(self, input_text, voice, prompt, speed):
         if voice not in self.speaker2id:
             raise KeyError(f"unknown voice {voice!r}")
         prompt = prompt or self.default_prompt or input_text
@@ -72,7 +74,7 @@ class TTSService:
             chunks = [input_text]
         style = self.embed_fn(prompt)
         alpha = 1.0 / max(speed, 1e-3)
-        reqs = [
+        return [
             SynthesisRequest(
                 phonemes=self.g2p_fn(c).split(),
                 speaker_id=self.speaker2id[voice],
@@ -82,8 +84,23 @@ class TTSService:
             )
             for c in chunks
         ]
+
+    def _synthesize(self, reqs):
+        if self._batcher is not None:
+            return self._batcher.submit_many(reqs)
         with self._lock:
-            results = self.engine.synthesize_batch(reqs)
+            return self.engine.synthesize_batch(reqs)
+
+    def speech(
+        self,
+        input_text: str,
+        voice: str,
+        prompt: str = "",
+        speed: float = 1.0,
+        response_format: str = "wav",
+    ) -> bytes:
+        reqs = self._build_requests(input_text, voice, prompt, speed)
+        results = self._synthesize(reqs)
         wav = (
             results[0].wav
             if len(results) == 1
@@ -95,6 +112,24 @@ class TTSService:
         if response_format not in ("wav", "", None):
             data = _transcode(data, response_format)
         return data
+
+    def speech_stream(
+        self,
+        input_text: str,
+        voice: str,
+        prompt: str = "",
+        speed: float = 1.0,
+    ):
+        """Generator of wav bytes: header first, then int16 PCM per sentence
+        chunk as it finishes synthesis. Time-to-first-audio is one chunk,
+        not the whole utterance (the reference has no streaming path)."""
+        from emotivoice_tpu.utils.audio_io import pcm16_bytes, wav_stream_header
+
+        reqs = self._build_requests(input_text, voice, prompt, speed)
+        yield wav_stream_header(self.engine.sr)
+        for req in reqs:
+            result = self._synthesize([req])[0]
+            yield pcm16_bytes(result.wav)
 
 
 def _transcode(wav_bytes: bytes, fmt: str) -> bytes:
@@ -122,6 +157,7 @@ def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
         prompt: str = ""
         response_format: str = "wav"
         speed: float = Field(1.0, ge=0.25, le=4.0)
+        stream: bool = False
 
     app = FastAPI(title="emotivoice-tpu")
 
@@ -141,6 +177,15 @@ def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
     @app.post("/v1/audio/speech")
     def speech(req: SpeechRequest):
         try:
+            if req.stream:
+                from fastapi.responses import StreamingResponse
+
+                return StreamingResponse(
+                    service.speech_stream(
+                        req.input, req.voice, req.prompt, req.speed
+                    ),
+                    media_type="audio/wav",
+                )
             data = service.speech(
                 req.input, req.voice, req.prompt, req.speed, req.response_format
             )
@@ -166,6 +211,9 @@ def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
+                if body.get("stream"):
+                    self._stream(body)
+                    return
                 data = service.speech(
                     body.get("input", ""),
                     str(body.get("voice", "8051")),
@@ -185,6 +233,36 @@ def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def _stream(self, body):
+            """Chunked transfer: wav header + PCM per sentence chunk."""
+            try:
+                gen = service.speech_stream(
+                    body.get("input", ""),
+                    str(body.get("voice", "8051")),
+                    body.get("prompt", ""),
+                    float(body.get("speed", 1.0)),
+                )
+                first = next(gen)  # raises before headers on bad input
+            except KeyError as e:
+                self.send_error(400, str(e))
+                return
+            except Exception as e:
+                self.send_error(500, str(e))
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes):
+                self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+            chunk(first)
+            for data in gen:
+                if data:
+                    chunk(data)
+            self.wfile.write(b"0\r\n\r\n")
 
         def do_GET(self):
             path = self.path.rstrip("/")

@@ -64,6 +64,7 @@ class SynthesisEngine:
         frames_per_token: float = 8.0,
         dtype=jnp.float32,
         use_pallas: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -75,6 +76,21 @@ class SynthesisEngine:
         self.model = JETSGenerator(
             cfg, compute_dtype=compute, use_pallas=use_pallas
         )
+        # Optional jax.sharding.Mesh: batches shard over the 'data' axis and
+        # params replicate, so one engine drives every chip on the host
+        # (reference inference_tts.py forks a full model copy per GPU thread
+        # instead). Batch buckets are padded to a multiple of the axis size.
+        self.mesh = mesh
+        self._data_sharding = None
+        self._replicated = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_axis = cfg.mesh.data_axis
+            self._n_data = mesh.shape[data_axis]
+            self._data_sharding = NamedSharding(mesh, P(data_axis))
+            self._replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, self._replicated)
         self.text_buckets = tuple(text_buckets)
         self.mel_buckets = tuple(mel_buckets)
         self.batch_buckets = tuple(batch_buckets)
@@ -115,6 +131,8 @@ class SynthesisEngine:
 
         b = len(requests)
         bb = _bucket(b, self.batch_buckets)
+        if self.mesh is not None and bb % self._n_data:
+            bb = -(-bb // self._n_data) * self._n_data  # pad to axis size
         tokens = np.zeros((bb, t_text), np.int32)
         lengths = np.ones((bb,), np.int32)  # pad rows: 1 token, speaker 0
         speaker = np.zeros((bb,), np.int32)
@@ -129,14 +147,14 @@ class SynthesisEngine:
             content[i] = r.content_embedding
 
         fn = self._compiled(t_text, max_frames, float(alpha))
-        wav, n_frames = fn(
-            self.params,
-            jnp.asarray(tokens),
-            jnp.asarray(lengths),
-            jnp.asarray(speaker),
-            jnp.asarray(style),
-            jnp.asarray(content),
-        )
+        arrays = (tokens, lengths, speaker, style, content)
+        if self._data_sharding is not None:
+            arrays = tuple(
+                jax.device_put(a, self._data_sharding) for a in arrays
+            )
+        else:
+            arrays = tuple(jnp.asarray(a) for a in arrays)
+        wav, n_frames = fn(self.params, *arrays)
         wav = np.asarray(wav)
         n_frames = np.asarray(n_frames)
         return [

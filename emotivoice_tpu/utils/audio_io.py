@@ -88,3 +88,29 @@ def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return resample_poly(
         np.asarray(wav, np.float32), sr_out // g, sr_in // g
     ).astype(np.float32)
+
+
+def wav_stream_header(sr: int = 16000, channels: int = 1, bits: int = 16) -> bytes:
+    """RIFF/WAVE header with unknown (0xFFFFFFFF) data length, the streaming
+    convention: players read PCM until the transport closes. Used by the
+    HTTP streaming endpoint (serving/api.py)."""
+    import struct
+
+    byte_rate = sr * channels * bits // 8
+    block_align = channels * bits // 8
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sr, byte_rate,
+                             block_align, bits),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
+def pcm16_bytes(wav: np.ndarray) -> bytes:
+    """float waveform in [-1, 1] -> raw little-endian int16 PCM bytes."""
+    wav = np.asarray(wav)
+    return (
+        np.clip(wav * MAX_WAV_VALUE, -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )

@@ -9,9 +9,16 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Few-core hosts starve CPU-mesh collective rendezvous past the default
+# 40 s termination limit (see __graft_entry__.py); raise it for the tests.
+for f in (
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
+    "--xla_cpu_collective_call_terminate_timeout_seconds=1800",
+):
+    if f.split("=")[0] not in flags:
+        flags += " " + f
+os.environ["XLA_FLAGS"] = flags.strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -138,3 +138,123 @@ class TestServiceLongform:
         # over-long sentence hard-splits at soft punctuation
         longs = split_sentences("x" * 50 + "," + "y" * 50, max_chars=60)
         assert len(longs) == 2
+
+
+class TestMicroBatcher:
+    def test_concurrent_requests_batch_into_fewer_dispatches(self, engine):
+        import threading
+
+        from emotivoice_tpu.serving.batcher import MicroBatcher
+
+        b = MicroBatcher(engine, max_batch=8, max_wait_ms=200.0)
+        req = _req(engine, ["<sos/eos>", "a", "b", "<sos/eos>"])
+        results = [None] * 6
+        # a first solo request warms the path, then 6 land concurrently
+        b.submit(req)
+        start = threading.Barrier(6)
+
+        def call(i):
+            start.wait()
+            results[i] = b.submit(req)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and r.wav.ndim == 1 for r in results)
+        # 6 concurrent requests must not take 6 dispatches
+        assert b._dispatches < b._requests
+        b.close()
+
+    def test_alpha_mismatch_not_mixed(self, engine):
+        from emotivoice_tpu.serving.batcher import MicroBatcher
+        from emotivoice_tpu.serving.engine import SynthesisRequest
+
+        seen = []
+        orig = engine.synthesize_batch
+
+        def spy(reqs):
+            seen.append([r.alpha for r in reqs])
+            return orig(reqs)
+
+        engine.synthesize_batch = spy
+        try:
+            b = MicroBatcher(engine, max_batch=8, max_wait_ms=100.0)
+            d = engine.cfg.am.bert_embedding
+            reqs = [
+                SynthesisRequest(
+                    phonemes=["<sos/eos>", "a", "<sos/eos>"],
+                    speaker_id=0,
+                    style_embedding=np.zeros(d, np.float32),
+                    content_embedding=np.zeros(d, np.float32),
+                    alpha=a,
+                )
+                for a in (1.0, 1.0, 2.0)
+            ]
+            out = b.submit_many(reqs)
+            assert len(out) == 3
+            for alphas in seen:
+                assert len(set(alphas)) == 1  # never mixed in one dispatch
+            b.close()
+        finally:
+            engine.synthesize_batch = orig
+
+    def test_engine_error_propagates(self, engine):
+        import pytest
+
+        from emotivoice_tpu.serving.batcher import MicroBatcher
+
+        orig = engine.synthesize_batch
+        engine.synthesize_batch = lambda reqs: (_ for _ in ()).throw(
+            ValueError("boom")
+        )
+        try:
+            b = MicroBatcher(engine, max_wait_ms=1.0)
+            with pytest.raises(ValueError, match="boom"):
+                b.submit(_req(engine, ["<sos/eos>", "a", "<sos/eos>"]))
+            b.close()
+        finally:
+            engine.synthesize_batch = orig
+
+
+class TestMeshEngine:
+    def test_mesh_sharded_results_match_single_device(self, engine):
+        from emotivoice_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:8])
+        e_mesh = SynthesisEngine(
+            engine.cfg, engine.params, engine.vocab,
+            text_buckets=(8, 16), mel_buckets=(64, 128),
+            batch_buckets=(1, 2, 4, 8, 16), mesh=mesh,
+        )
+        req = _req(engine, ["<sos/eos>", "a", "b", "c", "<sos/eos>"])
+        solo = engine.synthesize_batch([req] * 3)
+        sharded = e_mesh.synthesize_batch([req] * 3)  # pads 4 -> 8 rows
+        assert len(sharded) == 3
+        for a, b in zip(solo, sharded):
+            assert a.n_frames == b.n_frames
+            np.testing.assert_allclose(a.wav, b.wav, atol=2e-4)
+
+
+class TestStreaming:
+    def test_stream_matches_batch_output(self, engine):
+        from emotivoice_tpu.serving.api import TTSService
+        from emotivoice_tpu.utils.audio_io import wav_stream_header
+
+        d = engine.cfg.am.bert_embedding
+        svc = TTSService(
+            engine,
+            g2p_fn=lambda text: "<sos/eos> a b <sos/eos>",
+            embed_fn=lambda text: np.zeros(d, np.float32),
+            speaker2id={"0": 0},
+            longform_chars=10,
+            batching=False,
+        )
+        text = "One sentence. Two sentence. Three sentence."
+        parts = list(svc.speech_stream(text, "0"))
+        assert parts[0] == wav_stream_header(engine.sr)
+        assert len(parts) >= 4  # header + one PCM part per sentence chunk
+        pcm_stream = b"".join(parts[1:])
+        whole = svc.speech(text, "0")
+        assert pcm_stream == whole[44:]  # same PCM as the one-shot wav

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip bucket pre-compilation at startup")
+    p.add_argument("--no-batching", action="store_true",
+                   help="disable cross-request micro-batching")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard request batches over N devices (0 = single)")
     args = p.parse_args()
 
     import jax
@@ -90,10 +94,16 @@ def main():
 
     import jax.numpy as jnp
 
+    mesh = None
+    if args.data_parallel > 1:
+        from emotivoice_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.data_parallel])
     engine = SynthesisEngine(
         cfg, params, vocab,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         use_pallas=args.use_pallas,
+        mesh=mesh,
     )
     if not args.no_warmup:
         print("pre-compiling common bucket shapes (first compile in a "
@@ -105,6 +115,7 @@ def main():
         g2p_fn=lambda text: g2p_cn_en(text, lexicon),
         embed_fn=embed_fn,
         speaker2id={s: i for i, s in enumerate(speakers)},
+        batching=not args.no_batching,
     )
 
     try:
