@@ -98,3 +98,23 @@ def mel_spectrogram(
     basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
     mel = jnp.einsum("mk,...kt->...mt", basis, mag, preferred_element_type=jnp.float32)
     return dynamic_range_compression(mel)
+
+
+def mel_to_linear(
+    mel: jnp.ndarray,
+    sr: int = 16000,
+    n_fft: int = 1024,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: float = 8000.0,
+) -> jnp.ndarray:
+    """Approximate inverse of the mel projection via the filterbank
+    pseudo-inverse: log-mel (B, n_mels, T) -> linear magnitude
+    (B, n_bins, T). Pairs with ops.stft.griffin_lim as a checkpoint-free
+    fallback vocoder (the reference's equivalent, feats.py:241-257, is
+    dead librosa code)."""
+    basis = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)  # (n_mels, n_bins)
+    pinv = jnp.asarray(np.linalg.pinv(np.asarray(basis)))  # (n_bins, n_mels)
+    amp = jnp.exp(mel)  # undo dynamic_range_compression's log
+    lin = jnp.einsum("km,bmt->bkt", pinv, amp, preferred_element_type=jnp.float32)
+    return jnp.clip(lin, 0.0, None)

@@ -163,3 +163,56 @@ def istft(
     # Trim center padding.
     pad = n_fft // 2
     return sig[:, pad : out_len - pad]
+
+
+def stft_phase(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+) -> jnp.ndarray:
+    """Phase angle of the centered STFT -> (B, n_bins, n_frames)."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_signal(x, n_fft, hop_length)
+    win = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        win = np.pad(win, (lpad, n_fft - win_length - lpad))
+    frames = frames * jnp.asarray(win)[None, None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)
+    phase = jnp.arctan2(spec.imag, spec.real)
+    phase = jnp.swapaxes(phase, -1, -2)
+    return phase[0] if squeeze else phase
+
+
+def griffin_lim(
+    magnitude: jnp.ndarray,
+    n_iter: int = 32,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+) -> jnp.ndarray:
+    """Griffin-Lim phase reconstruction: |STFT| (B, n_bins, T) -> waveform.
+
+    Counterpart of reference `feats.py:241-257` (dead code there, built on
+    librosa); here a live, jittable `lax.fori_loop` over istft/stft rounds —
+    a checkpoint-free fallback vocoder for debugging mel predictions.
+    """
+    if magnitude.ndim == 2:
+        magnitude = magnitude[None]
+    b, n_bins, n_frames = magnitude.shape
+
+    phase0 = jnp.zeros((b, n_bins, n_frames), magnitude.dtype)
+
+    # istft already crops the n_fft//2 center padding, so its output aligns
+    # 1:1 with a centered re-analysis (same frame count back).
+    def body(_, phase):
+        wav = istft(magnitude, phase, n_fft, hop_length, win_length)
+        return stft_phase(wav, n_fft, hop_length, win_length)[:, :, :n_frames]
+
+    phase = jax.lax.fori_loop(0, n_iter, body, phase0)
+    return istft(magnitude, phase, n_fft, hop_length, win_length)

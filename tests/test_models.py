@@ -240,3 +240,43 @@ class TestStyleEncoder:
         out = enc.apply(params, ids, attention_mask=mask)
         assert out["pooled_output"].shape == (2, cfg.bert.hidden_size)
         assert out["emotion_outputs"].shape == (2, cfg.bert.emotion_n_labels)
+
+
+class TestCheckpointRoundtrip:
+    def test_orbax_save_restore(self, tmp_path):
+        import jax
+
+        from emotivoice_tpu.config import tiny_test_config
+        from emotivoice_tpu.training.loop import CheckpointManager
+        from emotivoice_tpu.training.step import init_train_state
+
+        cfg = tiny_test_config()
+        up = cfg.vocoder.upsample_factor
+        b, t_text, t_feats = 2, 8, 16
+        rng = np.random.RandomState(0)
+        batch = {
+            "tokens": np.zeros((b, t_text), np.int32),
+            "text_lengths": np.full((b,), t_text, np.int32),
+            "speaker": np.zeros((b,), np.int32),
+            "style_embedding": rng.randn(b, cfg.am.bert_embedding).astype(np.float32),
+            "content_embedding": rng.randn(b, cfg.am.bert_embedding).astype(np.float32),
+            "mel": rng.randn(b, t_feats, cfg.am.n_mels).astype(np.float32),
+            "mel_lengths": np.full((b,), t_feats, np.int32),
+            "pitch": rng.randn(b, t_feats).astype(np.float32),
+            "energy": rng.randn(b, t_feats).astype(np.float32),
+            "wav": (0.1 * rng.randn(b, t_feats * up)).astype(np.float32),
+        }
+        state, model, disc = init_train_state(cfg, jax.random.PRNGKey(0), batch)
+        state = state.replace(step=state.step + 7)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(7, state)
+        assert mgr.latest_step() == 7
+
+        template, _, _ = init_train_state(cfg, jax.random.PRNGKey(1), batch)
+        restored = mgr.restore(template)
+        assert int(restored.step) == 7
+        leaves_a = jax.tree_util.tree_leaves(state.g_params)
+        leaves_b = jax.tree_util.tree_leaves(restored.g_params)
+        for a, b_ in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
