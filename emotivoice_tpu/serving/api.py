@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import threading
+import time
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -59,6 +61,10 @@ class TTSService:
 
             self._batcher = MicroBatcher(engine)
         self._lock = threading.Lock()
+        from emotivoice_tpu.serving.metrics import ServiceMetrics
+
+        self.metrics = ServiceMetrics()
+        self._log = logging.getLogger("emotivoice_tpu.serving")
 
     def _build_requests(self, input_text, voice, prompt, speed):
         if voice not in self.speaker2id:
@@ -99,8 +105,20 @@ class TTSService:
         speed: float = 1.0,
         response_format: str = "wav",
     ) -> bytes:
-        reqs = self._build_requests(input_text, voice, prompt, speed)
-        results = self._synthesize(reqs)
+        t0 = time.perf_counter()
+        try:
+            reqs = self._build_requests(input_text, voice, prompt, speed)
+            results = self._synthesize(reqs)
+        except Exception:
+            self.metrics.observe_error()
+            raise
+        latency = time.perf_counter() - t0
+        audio_s = sum(len(r.wav) for r in results) / self.engine.sr
+        self.metrics.observe(latency, audio_s)
+        self._log.info(
+            "speech voice=%s chars=%d chunks=%d audio=%.2fs latency=%.3fs",
+            voice, len(input_text), len(reqs), audio_s, latency,
+        )
         wav = (
             results[0].wav
             if len(results) == 1
@@ -173,6 +191,10 @@ def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
     @app.get("/v1/voices")
     def voices():
         return {"voices": sorted(service.speaker2id)}
+
+    @app.get("/v1/metrics")
+    def metrics():
+        return service.metrics.snapshot(service._batcher)
 
     @app.post("/v1/audio/speech")
     def speech(req: SpeechRequest):
@@ -276,6 +298,11 @@ def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
             elif path == "/v1/voices":
                 body = json.dumps(
                     {"voices": sorted(service.speaker2id)}
+                ).encode()
+                self._reply(body, "application/json")
+            elif path == "/v1/metrics":
+                body = json.dumps(
+                    service.metrics.snapshot(service._batcher)
                 ).encode()
                 self._reply(body, "application/json")
             else:

@@ -258,3 +258,30 @@ class TestStreaming:
         pcm_stream = b"".join(parts[1:])
         whole = svc.speech(text, "0")
         assert pcm_stream == whole[44:]  # same PCM as the one-shot wav
+
+
+class TestMetrics:
+    def test_metrics_snapshot_after_requests(self, engine):
+        from emotivoice_tpu.serving.api import TTSService
+
+        d = engine.cfg.am.bert_embedding
+        svc = TTSService(
+            engine,
+            g2p_fn=lambda text: "<sos/eos> a b <sos/eos>",
+            embed_fn=lambda text: np.zeros(d, np.float32),
+            speaker2id={"0": 0},
+            batching=True,
+        )
+        svc.speech("hello", "0")
+        svc.speech("world", "0")
+        try:
+            svc.speech("x", "missing-voice")
+        except KeyError:
+            pass
+        snap = svc.metrics.snapshot(svc._batcher)
+        assert snap["requests"] == 2
+        assert snap["errors"] == 1
+        assert snap["latency_s"]["p50"] > 0
+        assert snap["batching"]["dispatches"] >= 1
+        # rtf recorded when audio was produced
+        assert snap["audio_seconds_served"] >= 0
