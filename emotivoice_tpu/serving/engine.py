@@ -174,14 +174,33 @@ class SynthesisEngine:
         fresh process can take minutes (serving must not eat that on a
         user request)."""
         shapes = shapes or [(1, 32, 256), (1, 64, 512), (4, 64, 512)]
+        d = self.cfg.am.bert_embedding
         for b, t_text, max_frames in shapes:
-            fn = self._compiled(t_text, max_frames, 1.0)
-            out = fn(
-                self.params,
-                jnp.zeros((b, t_text), jnp.int32),
-                jnp.ones((b,), jnp.int32),
-                jnp.zeros((b,), jnp.int32),
-                jnp.zeros((b, self.cfg.am.bert_embedding), jnp.float32),
-                jnp.zeros((b, self.cfg.am.bert_embedding), jnp.float32),
+            # Drive the real synthesize_batch path so warmup compiles the
+            # same executables production will hit (incl. mesh sharding /
+            # batch-bucket padding), not an unsharded twin.
+            req = SynthesisRequest(
+                phonemes=self.vocab.decode([0]) * t_text,  # pad tokens
+                speaker_id=0,
+                style_embedding=np.zeros(d, np.float32),
+                content_embedding=np.zeros(d, np.float32),
             )
-            jax.block_until_ready(out)
+            t_bucket = _bucket(t_text, self.text_buckets)
+            est = int(t_bucket * self.frames_per_token)
+            if _bucket(est, self.mel_buckets) != max_frames:
+                # fall back to direct compile for non-default mel buckets
+                fn = self._compiled(t_text, max_frames, 1.0)
+                arrays = (
+                    np.zeros((b, t_text), np.int32),
+                    np.ones((b,), np.int32),
+                    np.zeros((b,), np.int32),
+                    np.zeros((b, d), np.float32),
+                    np.zeros((b, d), np.float32),
+                )
+                if self._data_sharding is not None:
+                    arrays = tuple(
+                        jax.device_put(a, self._data_sharding) for a in arrays
+                    )
+                jax.block_until_ready(fn(self.params, *arrays))
+            else:
+                self.synthesize_batch([req] * b)

@@ -285,3 +285,19 @@ class TestMetrics:
         assert snap["batching"]["dispatches"] >= 1
         # rtf recorded when audio was produced
         assert snap["audio_seconds_served"] >= 0
+
+
+class TestWarmup:
+    def test_warmup_populates_compile_cache(self, engine):
+        e = SynthesisEngine(
+            engine.cfg, engine.params, engine.vocab,
+            text_buckets=(8, 16), mel_buckets=(64, 128),
+            batch_buckets=(1, 2, 4),
+            frames_per_token=8.0,
+        )
+        e.warmup(shapes=[(1, 8, 64), (2, 16, 128)])
+        assert e._compiled.cache_info().currsize >= 2
+        # warmed shapes now hit the cache
+        before = e._compiled.cache_info().hits
+        e.synthesize_batch([_req(engine, ["<sos/eos>", "a", "<sos/eos>"])])
+        assert e._compiled.cache_info().hits > before
