@@ -276,3 +276,44 @@ class BucketedLoader:
             for bucket in pending.values():
                 if bucket:
                     yield collate(bucket, self.spec, hop)
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetcher with a bounded queue.
+
+    The reference hides feature-extraction latency behind 8 DataLoader
+    worker processes per rank (`train_am_vocoder_joint.py:224-231`); here
+    extraction is mostly jitted/npz-cached, so one producer thread with a
+    small lookahead keeps the device fed — batch N+1..N+depth materialize
+    while the train step for batch N runs on the TPU.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        DONE, ERR = object(), object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # propagate to the consumer
+                q.put((ERR, e))
+                return
+            q.put(DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+                raise item[1]
+            yield item

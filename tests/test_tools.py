@@ -163,3 +163,28 @@ class TestMFATool:
             got["duration"], [0.1, 0.1, 0.15, 0.05, 0.2, 0.1], atol=0.005
         )
         assert got["prompt"] == "Happy"
+
+
+class TestPrefetchLoader:
+    def test_yields_all_batches_in_order(self):
+        from emotivoice_tpu.data.dataset import PrefetchLoader
+
+        batches = [{"i": np.full((2,), k)} for k in range(5)]
+        out = list(PrefetchLoader(batches, depth=2))
+        assert len(out) == 5
+        for k, b in enumerate(out):
+            assert b["i"][0] == k
+
+    def test_propagates_producer_exception(self):
+        import pytest
+
+        from emotivoice_tpu.data.dataset import PrefetchLoader
+
+        def gen():
+            yield {"i": np.zeros(1)}
+            raise RuntimeError("producer failed")
+
+        it = iter(PrefetchLoader(gen(), depth=1))
+        next(it)
+        with pytest.raises(RuntimeError, match="producer failed"):
+            next(it)

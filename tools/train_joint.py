@@ -38,6 +38,7 @@ def main():
     from emotivoice_tpu.config import EmotiVoiceConfig, TrainConfig
     from emotivoice_tpu.data.dataset import (
         BucketedLoader,
+        PrefetchLoader,
         PromptTTSDataset,
     )
     from emotivoice_tpu.frontend.tokens import TokenVocab, load_label_list
@@ -74,7 +75,8 @@ def main():
     dataset = PromptTTSDataset(
         args.datalist, cfg, vocab, speakers, embed_fn, cache_dir=args.cache_dir
     )
-    loader = lambda: BucketedLoader(dataset, args.batch_size)
+    # background prefetch keeps the device fed while features extract
+    loader = lambda: PrefetchLoader(BucketedLoader(dataset, args.batch_size))
 
     warm_start_fn = None
     if args.pretrained_generator:
