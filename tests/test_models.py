@@ -280,3 +280,60 @@ class TestCheckpointRoundtrip:
         leaves_b = jax.tree_util.tree_leaves(restored.g_params)
         for a, b_ in zip(leaves_a, leaves_b):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+class TestVoiceCloning:
+    def test_grow_speaker_embedding(self):
+        from emotivoice_tpu.convert.from_torch import grow_speaker_embedding
+
+        emb = np.arange(12, dtype=np.float32).reshape(4, 3)
+        params = {"am": {"spk_tokenizer": {"embedding": emb},
+                         "other": {"w": np.ones(2)}}}
+        grown = grow_speaker_embedding(params, 2, seed=0)
+        new = grown["am"]["spk_tokenizer"]["embedding"]
+        assert new.shape == (6, 3)
+        np.testing.assert_array_equal(new[:4], emb)  # old voices untouched
+        assert np.abs(new[4:]).sum() > 0  # new rows initialized
+        # original dict not mutated
+        assert params["am"]["spk_tokenizer"]["embedding"].shape == (4, 3)
+        assert grown["am"]["other"] is params["am"]["other"]
+
+
+class TestStylePretrainStep:
+    def test_one_step_runs_and_improves(self):
+        import jax
+        import dataclasses
+
+        from emotivoice_tpu.config import StyleBertConfig
+        from emotivoice_tpu.models.bert import StyleEncoder
+        from emotivoice_tpu.training.style_pretrain import make_pretrain_step
+
+        cfg = StyleBertConfig(
+            vocab_size=50, hidden_size=16, num_layers=1, num_heads=2,
+            intermediate_size=32, max_position_embeddings=32,
+        )
+        model = StyleEncoder(cfg)
+        rng = np.random.RandomState(0)
+        b, t = 4, 10
+        batch = {
+            "input_ids": rng.randint(0, 50, (b, t)).astype(np.int32),
+            "token_type_ids": np.zeros((b, t), np.int32),
+            "attention_mask": np.ones((b, t), np.int32),
+            "pitch": rng.randint(0, cfg.pitch_n_labels, (b,)).astype(np.int32),
+            "speed": rng.randint(0, cfg.speed_n_labels, (b,)).astype(np.int32),
+            "energy": rng.randint(0, cfg.energy_n_labels, (b,)).astype(np.int32),
+            "emotion": rng.randint(0, cfg.emotion_n_labels, (b,)).astype(np.int32),
+        }
+        variables = model.init(
+            jax.random.PRNGKey(0), batch["input_ids"],
+            batch["token_type_ids"], batch["attention_mask"],
+        )
+        params = variables["params"]
+        step, opt = make_pretrain_step(model, learning_rate=1e-3)
+        opt_state = opt.init(params)
+        key = jax.random.PRNGKey(1)
+        params, opt_state, key, m0 = step(params, opt_state, key, batch)
+        for _ in range(4):
+            params, opt_state, key, m = step(params, opt_state, key, batch)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["loss"]) < float(m0["loss"])  # memorizes tiny batch
