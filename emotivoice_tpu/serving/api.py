@@ -143,11 +143,29 @@ class TTSService:
         not the whole utterance (the reference has no streaming path)."""
         from emotivoice_tpu.utils.audio_io import pcm16_bytes, wav_stream_header
 
-        reqs = self._build_requests(input_text, voice, prompt, speed)
+        t0 = time.perf_counter()
+        try:
+            reqs = self._build_requests(input_text, voice, prompt, speed)
+        except Exception:
+            self.metrics.observe_error()
+            raise
         yield wav_stream_header(self.engine.sr)
+        audio_s = 0.0
         for req in reqs:
-            result = self._synthesize([req])[0]
+            try:
+                result = self._synthesize([req])[0]
+            except Exception:
+                self.metrics.observe_error()
+                raise
+            audio_s += len(result.wav) / self.engine.sr
             yield pcm16_bytes(result.wav)
+        latency = time.perf_counter() - t0
+        self.metrics.observe(latency, audio_s)
+        self._log.info(
+            "speech_stream voice=%s chars=%d chunks=%d audio=%.2fs "
+            "latency=%.3fs", voice, len(input_text), len(reqs), audio_s,
+            latency,
+        )
 
 
 def _transcode(wav_bytes: bytes, fmt: str) -> bytes:

@@ -285,6 +285,9 @@ class TestMetrics:
         assert snap["batching"]["dispatches"] >= 1
         # rtf recorded when audio was produced
         assert snap["audio_seconds_served"] >= 0
+        # the streaming path records too (generator must be fully consumed)
+        list(svc.speech_stream("stream me", "0"))
+        assert svc.metrics.snapshot()["requests"] == 3
 
 
 class TestWarmup:
