@@ -91,14 +91,48 @@ def main():
         jax.block_until_ready(fn())
         print(f"{name:16s} compile+first: {time.perf_counter()-t0:7.2f} s")
 
-    audio_s = b * max_frames * cfg.vocoder.upsample_factor / cfg.audio.sampling_rate
-    for name, fn in stages.items():
+    # Honest timing: block_until_ready does NOT fence remote-tunnel
+    # execution (see .claude/skills/verify/SKILL.md), so each stage runs as
+    # one lax.scan chain fenced by a scalar device-to-host transfer.
+    def chain(stage_fn, n):
+        @jax.jit
+        def run():
+            def body(carry, _):
+                out = stage_fn(carry)
+                s = jnp.sum(out[..., ::997]) if out.ndim > 1 else jnp.sum(out)
+                return carry + 1e-12 * s.astype(carry.dtype), s
+
+            _, ss = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return jnp.sum(ss)
+
+        float(run())  # compile
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn()
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
+        float(run())
+        return (time.perf_counter() - t0) / n
+
+    chains = {
+        "acoustic_model": lambda c: am.apply(
+            am_params, tokens, text_lengths, speaker,
+            style + c.astype(style.dtype)[None, None] * 1e-12, content,
+            max_frames=max_frames)["dec_outputs"],
+        "vocoder": lambda c: voc.apply(
+            voc_params, mel + c.astype(mel.dtype) * 1e-12),
+        "full_path": lambda c: model.apply(
+            params, tokens, text_lengths, speaker,
+            style + c.astype(style.dtype)[None, None] * 1e-12, content,
+            max_frames=max_frames)["wav_predictions"],
+    }
+    audio_s = b * max_frames * cfg.vocoder.upsample_factor / cfg.audio.sampling_rate
+    times = {}
+    for name, fn in chains.items():
+        dt = chain(fn, args.iters)
+        times[name] = dt
         print(f"{name:16s} {dt*1e3:8.2f} ms/call  ({audio_s/dt:8.1f} xRT)")
+    total = times.get("full_path")
+    if total:
+        for name in ("acoustic_model", "vocoder"):
+            print(f"{name:16s} share of full path: "
+                  f"{100.0 * times[name] / total:5.1f} %")
 
     os.makedirs(args.trace_dir, exist_ok=True)
     with jax.profiler.trace(args.trace_dir):
