@@ -337,3 +337,36 @@ class TestStylePretrainStep:
             params, opt_state, key, m = step(params, opt_state, key, batch)
         assert np.isfinite(float(m["loss"]))
         assert float(m["loss"]) < float(m0["loss"])  # memorizes tiny batch
+
+
+class TestTConvMatmulForm:
+    def test_matmul_form_matches_lax_form(self):
+        import jax
+        import jax.numpy as jnp
+
+        from emotivoice_tpu.models.hifigan import WNConvTranspose1d
+
+        # ci*stride >= 4096 selects the matmul lowering...
+        big = WNConvTranspose1d(512, 64, 16, stride=8, padding=4)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 24, 512), jnp.float32
+        )
+        params = big.init(jax.random.PRNGKey(0), x)
+        y_mm = big.apply(params, x)
+        # ...force the lax path on the same weights by shrinking the
+        # heuristic trigger: same module logic, stride unchanged, but call
+        # the internal lax branch via a module whose ci*stride < 4096 is
+        # impossible here — instead compute the lax reference directly.
+        w = params["params"]["g"] * params["params"]["v"] / jnp.sqrt(
+            jnp.sum(params["params"]["v"] ** 2, axis=(1, 2), keepdims=True)
+        )
+        kernel = jnp.flip(jnp.transpose(w, (2, 0, 1)), axis=0)
+        y_lax = jax.lax.conv_general_dilated(
+            x, kernel, (1,), [(16 - 1 - 4, 16 - 1 - 4)], lhs_dilation=(8,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        ) + params["params"]["b"]
+        assert y_mm.shape == y_lax.shape
+        np.testing.assert_allclose(
+            np.asarray(y_mm), np.asarray(y_lax), atol=2e-5
+        )
