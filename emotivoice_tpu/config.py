@@ -106,6 +106,38 @@ class VocoderConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """MPD + MSD discriminator topology (reference models/hifigan/models.py:143-263).
+
+    Defaults reproduce the reference exactly; tests/dryruns shrink the
+    towers (the full discriminator is ~70M params — by far the largest
+    compile unit in the GAN step).
+    """
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    # Channel progression of the 4 strided k(5,1) towers in DiscriminatorP
+    # (reference models.py:150-156); a 5th stride-1 layer at the last width
+    # and a 1-channel conv_post follow.
+    period_channels: Tuple[int, ...] = (32, 128, 512, 1024)
+    period_kernel_size: int = 5
+    period_stride: int = 3
+    # Number of MSD scales (1x, 2x, 4x avg-pooled); the first uses spectral
+    # norm (reference models.py:236-263).
+    n_scales: int = 3
+    # DiscriminatorS stack: (out_ch, kernel, stride, groups, pad) per layer
+    # (reference models.py:210-218); a 1-channel k3 conv_post follows.
+    scale_layers: Tuple[Tuple[int, int, int, int, int], ...] = (
+        (128, 15, 1, 1, 7),
+        (128, 41, 2, 4, 20),
+        (256, 41, 2, 16, 20),
+        (512, 41, 4, 16, 20),
+        (1024, 41, 4, 16, 20),
+        (1024, 41, 1, 16, 20),
+        (1024, 5, 1, 1, 2),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
 class StyleBertConfig:
     """SimBERT-style sentence encoder (reference simbert.py:33-72).
 
@@ -175,6 +207,9 @@ class EmotiVoiceConfig:
     audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
     am: AcousticConfig = dataclasses.field(default_factory=AcousticConfig)
     vocoder: VocoderConfig = dataclasses.field(default_factory=VocoderConfig)
+    disc: DiscriminatorConfig = dataclasses.field(
+        default_factory=DiscriminatorConfig
+    )
     bert: StyleBertConfig = dataclasses.field(default_factory=StyleBertConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
@@ -207,6 +242,19 @@ def tiny_test_config() -> EmotiVoiceConfig:
             upsample_kernel_sizes=(16, 16, 4, 4),
             resblock_kernel_sizes=(3,),
             resblock_dilation_sizes=((1, 3, 5),),
+        ),
+        disc=DiscriminatorConfig(
+            # 2 MPD periods + 1 (spectral-norm) MSD scale: every code path
+            # (period reshape, grouped convs, power iteration) at ~1/1000
+            # the parameter count of the full 8-tower discriminator.
+            periods=(2, 3),
+            period_channels=(4, 8, 8, 8),
+            n_scales=1,
+            scale_layers=(
+                (8, 15, 1, 1, 7),
+                (8, 41, 2, 4, 20),
+                (8, 5, 1, 1, 2),
+            ),
         ),
         bert=StyleBertConfig(
             vocab_size=64,

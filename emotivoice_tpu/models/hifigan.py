@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from emotivoice_tpu.config import VocoderConfig
+from emotivoice_tpu.config import DiscriminatorConfig, VocoderConfig
 
 LRELU_SLOPE = 0.1
 
@@ -149,18 +149,21 @@ class WNConvTranspose1d(nn.Module):
         b_, t = x.shape[0], x.shape[1]
         g = k // u
         wm = jnp.transpose(w, (0, 2, 1)).reshape(ci, k * co)
+        # Keep the einsum result and the overlap-add accumulator in f32 so
+        # bf16 compute matches the lax-conv branch (which accumulates in
+        # f32 end-to-end); cast once after the final crop.
         y = jnp.einsum(
             "btc,cf->btf", x, wm.astype(x.dtype),
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         y = y.reshape(b_, t, g, u, co)
         out_t = (t + g - 1) * u
-        acc = jnp.zeros((b_, out_t, co), x.dtype)
+        acc = jnp.zeros((b_, out_t, co), jnp.float32)
         for j in range(g):
             acc = acc.at[:, j * u : j * u + t * u].add(
                 y[:, :, j].reshape(b_, t * u, co)
             )
-        return acc[:, self.padding : out_t - self.padding]
+        return acc[:, self.padding : out_t - self.padding].astype(x.dtype)
 
 
 class WNConv2d(nn.Module):
@@ -394,6 +397,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels: Sequence[int] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray):
@@ -407,42 +411,52 @@ class DiscriminatorP(nn.Module):
         x = wav.reshape(b, t // p, p, 1)  # (B, H=T/p, W=p, C=1)
 
         fmap = []
-        chans = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        pad = (self.kernel_size - 1) // 2
+        widths = list(self.channels)
+        chans = list(zip([1] + widths[:-1], widths))
         for i, (ci, co) in enumerate(chans):
             x = WNConv2d(
-                ci, co, (self.kernel_size, 1), (self.stride, 1), (2, 0),
+                ci, co, (self.kernel_size, 1), (self.stride, 1), (pad, 0),
                 name=f"convs_{i}",
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = WNConv2d(1024, 1024, (self.kernel_size, 1), (1, 1), (2, 0), name="convs_4")(x)
+        last = widths[-1]
+        x = WNConv2d(
+            last, last, (self.kernel_size, 1), (1, 1), (pad, 0),
+            name=f"convs_{len(chans)}",
+        )(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+        x = WNConv2d(last, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
+
+
+_MSD_LAYERS = (
+    # (out_ch, kernel, stride, groups, pad) — reference models.py:210-218
+    (128, 15, 1, 1, 7),
+    (128, 41, 2, 4, 20),
+    (256, 41, 2, 16, 20),
+    (512, 41, 4, 16, 20),
+    (1024, 41, 4, 16, 20),
+    (1024, 41, 1, 16, 20),
+    (1024, 5, 1, 1, 2),
+)
 
 
 class DiscriminatorS(nn.Module):
     """Scale sub-discriminator (reference models.py:206-233)."""
 
     use_spectral_norm: bool = False
+    layers: Sequence[Tuple[int, int, int, int, int]] = _MSD_LAYERS
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray, update_stats: bool = False):
         x = wav[..., None]  # (B, T, 1)
         fmap = []
-        layers = [
-            # (ci, co, k, stride, groups, pad)
-            (1, 128, 15, 1, 1, 7),
-            (128, 128, 41, 2, 4, 20),
-            (128, 256, 41, 2, 16, 20),
-            (256, 512, 41, 4, 16, 20),
-            (512, 1024, 41, 4, 16, 20),
-            (1024, 1024, 41, 1, 16, 20),
-            (1024, 1024, 5, 1, 1, 2),
-        ]
-        for i, (ci, co, k, s, g, pad) in enumerate(layers):
+        ci = 1
+        for i, (co, k, s, g, pad) in enumerate(self.layers):
             if self.use_spectral_norm:
                 x = SNConv1d(ci, co, k, s, g, pad, name=f"convs_{i}")(x, update_stats)
             else:
@@ -450,10 +464,11 @@ class DiscriminatorS(nn.Module):
                              name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
+            ci = co
         if self.use_spectral_norm:
-            x = SNConv1d(1024, 1, 3, 1, 1, 1, name="conv_post")(x, update_stats)
+            x = SNConv1d(ci, 1, 3, 1, 1, 1, name="conv_post")(x, update_stats)
         else:
-            x = WNConv1d(1024, 1, 3, padding=1, name="conv_post")(x)
+            x = WNConv1d(ci, 1, 3, padding=1, name="conv_post")(x)
         fmap.append(x)
         b = x.shape[0]
         return x.reshape(b, -1), fmap
@@ -469,21 +484,32 @@ def _avg_pool1d(x: jnp.ndarray, window: int = 4, stride: int = 2, pad: int = 2):
 
 
 class Discriminator(nn.Module):
-    """MPD + MSD combined (reference pretrained_discriminator.py:21-40)."""
+    """MPD + MSD combined (reference pretrained_discriminator.py:21-40).
 
-    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    Topology comes from ``DiscriminatorConfig`` (defaults == reference);
+    tests/dryruns pass a shrunken config — same code path, tiny graph.
+    """
+
+    cfg: DiscriminatorConfig = DiscriminatorConfig()
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_stats: bool = False):
         """y, y_hat: (B, T) waveforms. Returns (real_outs, fake_outs,
-        real_fmaps, fake_fmaps) across all 8 sub-discriminators."""
+        real_fmaps, fake_fmaps) across all sub-discriminators."""
+        c = self.cfg
         real_outs: List[jnp.ndarray] = []
         fake_outs: List[jnp.ndarray] = []
         real_fmaps: List[List[jnp.ndarray]] = []
         fake_fmaps: List[List[jnp.ndarray]] = []
 
-        for p in self.periods:
-            d = DiscriminatorP(p, name=f"mpd_{p}")
+        for p in c.periods:
+            d = DiscriminatorP(
+                p,
+                kernel_size=c.period_kernel_size,
+                stride=c.period_stride,
+                channels=c.period_channels,
+                name=f"mpd_{p}",
+            )
             ro, rf = d(y)
             fo, ff = d(y_hat)
             real_outs.append(ro)
@@ -492,11 +518,14 @@ class Discriminator(nn.Module):
             fake_fmaps.append(ff)
 
         ys, yhs = y, y_hat
-        for i in range(3):
+        for i in range(c.n_scales):
             if i != 0:
                 ys = _avg_pool1d(ys)
                 yhs = _avg_pool1d(yhs)
-            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"msd_{i}")
+            d = DiscriminatorS(
+                use_spectral_norm=(i == 0), layers=c.scale_layers,
+                name=f"msd_{i}",
+            )
             ro, rf = d(ys, update_stats)
             fo, ff = d(yhs, update_stats)
             real_outs.append(ro)

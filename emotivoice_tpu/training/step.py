@@ -80,7 +80,7 @@ def init_train_state(
     steps_per_epoch: int = 1000,
 ) -> Tuple[TrainState, JETSGenerator, Discriminator]:
     model = JETSGenerator(cfg)
-    disc = Discriminator()
+    disc = Discriminator(cfg.disc)
     rng, g_rng, d_rng, seg_rng = jax.random.split(rng, 4)
 
     g_vars = model.init(
@@ -234,21 +234,52 @@ def make_train_step(
     return train_step
 
 
+def train_state_shardings(state: TrainState, mesh: Mesh, cfg: EmotiVoiceConfig):
+    """NamedSharding tree for the full TrainState.
+
+    Params (and their optax moments, which mirror the param paths) get the
+    Megatron-style 'model'-axis specs from parallel.sharding; scalars, rng,
+    spectral-norm state and everything unmatched stay replicated. With a
+    model axis of size 1 this degenerates to pure replication (pure DP).
+    """
+    from emotivoice_tpu.parallel.sharding import tree_shardings
+
+    return tree_shardings(state, mesh, cfg.mesh.model_axis)
+
+
+def shard_train_state(
+    state: TrainState, mesh: Mesh, cfg: EmotiVoiceConfig
+) -> TrainState:
+    """Place a (host / single-device) TrainState onto the mesh layout."""
+    return jax.device_put(state, train_state_shardings(state, mesh, cfg))
+
+
 def make_parallel_train_step(
     cfg: EmotiVoiceConfig,
     model: JETSGenerator,
     disc: Discriminator,
     mesh: Mesh,
     steps_per_epoch: int = 1000,
+    state: Optional[TrainState] = None,
 ):
-    """jit the train step over a mesh: batch sharded on 'data', state replicated."""
+    """jit the train step over a mesh.
+
+    Batch shards over the 'data' axis (gradient all-reduce inserted by XLA —
+    the DDP/NCCL equivalent). When ``state`` is passed and the mesh has a
+    'model' axis of size > 1, parameters + optimizer moments are genuinely
+    partitioned over it (tensor parallelism — vocoder channels, attention
+    heads; see parallel/sharding.py); otherwise the state replicates.
+    """
     step_fn = make_train_step(cfg, model, disc, steps_per_epoch)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(cfg.mesh.data_axis))
+    state_sh = (
+        train_state_shardings(state, mesh, cfg) if state is not None else repl
+    )
 
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
