@@ -252,15 +252,21 @@ class BucketedLoader:
         spec: BucketSpec = BucketSpec(),
         seed: int = 0,
         drop_last: bool = True,
+        shuffle: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.spec = spec
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self.shuffle = shuffle
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self.rng.permutation(len(self.dataset))
+        order = (
+            self.rng.permutation(len(self.dataset))
+            if self.shuffle
+            else np.arange(len(self.dataset))
+        )
         pending: Dict[int, List] = {}
         hop = self.dataset.cfg.audio.hop_length
         for idx in order:

@@ -22,11 +22,13 @@ import jax
 import numpy as np
 
 from emotivoice_tpu.config import EmotiVoiceConfig
-from emotivoice_tpu.parallel.mesh import make_mesh, shard_batch
+from emotivoice_tpu.parallel.mesh import make_mesh
+from emotivoice_tpu.parallel.multihost import global_batch
 from emotivoice_tpu.training.step import (
     TrainState,
     init_train_state,
     make_parallel_train_step,
+    shard_train_state,
 )
 
 
@@ -93,13 +95,20 @@ def train(
     total_steps: int,
     steps_per_epoch: int = 1000,
     validate_fn: Optional[Callable[[TrainState, int], None]] = None,
+    valid_batch_iter_fn: Optional[Callable[[], Iterable[dict]]] = None,
     mesh=None,
     example_batch: Optional[dict] = None,
     warm_start_fn: Optional[Callable[[TrainState], TrainState]] = None,
+    log_every: int = 50,
 ):
     """Run joint AM+vocoder GAN training.
 
     batch_iter_fn: returns a fresh epoch iterator of collated numpy batches.
+    valid_batch_iter_fn: like batch_iter_fn but over the held-out set; when
+      given (and no explicit validate_fn), a default validation pass — losses
+      + mel-comparison figure + sample audio to tensorboard, the reference's
+      `validate()` every `iters_per_validation` steps
+      (train_am_vocoder_joint.py:432-434) — is wired automatically.
     warm_start_fn: applied to the fresh state when no checkpoint exists —
       the reference's `--load_pretrained_model` warm start
       (train_am_vocoder_joint.py:269-276).
@@ -123,19 +132,30 @@ def train(
         state = warm_start_fn(state)
         print("warm-started from pretrained checkpoint")
 
-    step_fn = make_parallel_train_step(cfg, model, disc, mesh, steps_per_epoch)
+    if validate_fn is None and valid_batch_iter_fn is not None:
+        from emotivoice_tpu.training.validate import make_validate_fn
+
+        validate_fn = make_validate_fn(cfg, model, valid_batch_iter_fn, logger)
+
+    step_fn = make_parallel_train_step(
+        cfg, model, disc, mesh, steps_per_epoch, state=state
+    )
+    state = shard_train_state(state, mesh, cfg)
 
     t_start = time.time()
     with mesh:
         while int(state.step) < total_steps:
             for batch in batch_iter_fn():
-                sharded = shard_batch(batch, mesh)
+                # single-process: device_put with batch sharding; multi-host:
+                # global array assembled from each host's local rows
+                # (docs/MULTIHOST.md, parallel/multihost.py)
+                sharded = global_batch(batch, mesh)
                 state, metrics = step_fn(state, sharded)
                 step = int(state.step)
 
-                if step % 50 == 0:
+                if step % log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    metrics["steps_per_sec"] = 50 / max(
+                    metrics["steps_per_sec"] = log_every / max(
                         time.time() - t_start, 1e-6
                     )
                     t_start = time.time()

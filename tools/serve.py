@@ -35,9 +35,21 @@ def main():
                    help="disable cross-request micro-batching")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard request batches over N devices (0 = single)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel width: vocoder channels / attention "
+                        "heads shard over a 'model' mesh axis of this size")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed; run one server per host "
+                        "behind a load balancer (docs/MULTIHOST.md)")
     args = p.parse_args()
 
     import jax
+
+    if args.multihost:
+        from emotivoice_tpu.parallel.multihost import initialize_multihost
+
+        pi, pc = initialize_multihost()
+        print(f"multihost: process {pi}/{pc}")
 
     from emotivoice_tpu.config import EmotiVoiceConfig
     from emotivoice_tpu.frontend.en import read_lexicon
@@ -95,10 +107,14 @@ def main():
     import jax.numpy as jnp
 
     mesh = None
-    if args.data_parallel > 1:
+    if args.data_parallel > 1 or args.model_parallel > 1:
         from emotivoice_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(jax.devices()[: args.data_parallel])
+        dp = max(args.data_parallel, 1)
+        mesh = make_mesh(
+            jax.devices()[: dp * args.model_parallel],
+            model_parallel_size=args.model_parallel,
+        )
     engine = SynthesisEngine(
         cfg, params, vocab,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,

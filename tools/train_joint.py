@@ -17,6 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--datalist", required=True)
+    p.add_argument("--valid-datalist", default=None,
+                   help="held-out datalist; enables validation every "
+                        "--iters-per-validation steps (reference "
+                        "train_am_vocoder_joint.py:432-434)")
+    p.add_argument("--iters-per-validation", type=int, default=1000)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tokenlist", default=None)
     p.add_argument("--speakers", default=None)
@@ -28,12 +33,24 @@ def main():
                    help="reference do_XXXXXXXX torch ckpt to warm-start from")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--total-steps", type=int, default=140000)
+    p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--new-speakers", type=int, default=0,
                    help="grow the speaker table by N rows (voice cloning)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (one process per host "
+                        "on a pod slice); shards the datalist per process "
+                        "and treats --batch-size as the GLOBAL batch")
     args = p.parse_args()
 
     import numpy as np
+
+    process_index, process_count = 0, 1
+    if args.multihost:
+        from emotivoice_tpu.parallel.multihost import initialize_multihost
+
+        process_index, process_count = initialize_multihost()
+        print(f"multihost: process {process_index}/{process_count}")
 
     from emotivoice_tpu.config import EmotiVoiceConfig, TrainConfig
     from emotivoice_tpu.data.dataset import (
@@ -58,7 +75,10 @@ def main():
         am=cfg.am.__class__(
             **{**cfg.am.__dict__, "n_vocab": len(vocab), "n_speaker": n_speaker}
         ),
-        train=TrainConfig(batch_size=args.batch_size),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            iters_per_validation=args.iters_per_validation,
+        ),
     )
 
     if args.style_encoder:
@@ -75,8 +95,26 @@ def main():
     dataset = PromptTTSDataset(
         args.datalist, cfg, vocab, speakers, embed_fn, cache_dir=args.cache_dir
     )
+    local_bs = args.batch_size
+    if process_count > 1:
+        # global batch semantics (docs/MULTIHOST.md): each host loads a
+        # disjoint datalist shard and 1/P of the global batch rows.
+        from emotivoice_tpu.parallel.multihost import shard_datalist
+
+        dataset.utts = shard_datalist(dataset.utts)
+        local_bs = max(args.batch_size // process_count, 1)
     # background prefetch keeps the device fed while features extract
-    loader = lambda: PrefetchLoader(BucketedLoader(dataset, args.batch_size))
+    loader = lambda: PrefetchLoader(BucketedLoader(dataset, local_bs))
+
+    valid_loader = None
+    if args.valid_datalist:
+        valid_dataset = PromptTTSDataset(
+            args.valid_datalist, cfg, vocab, speakers, embed_fn,
+            cache_dir=args.cache_dir,
+        )
+        valid_loader = lambda: BucketedLoader(
+            valid_dataset, local_bs, shuffle=False, drop_last=False
+        )
 
     warm_start_fn = None
     if args.pretrained_generator:
@@ -122,7 +160,9 @@ def main():
         args.output_dir,
         total_steps=args.total_steps,
         steps_per_epoch=max(len(dataset) // args.batch_size, 1),
+        valid_batch_iter_fn=valid_loader,
         warm_start_fn=warm_start_fn,
+        log_every=args.log_every,
     )
 
 
