@@ -35,6 +35,17 @@ try:  # pragma: no cover - optional dependency
     from pypinyin import Style, pinyin as _pypinyin
 
     _HAS_PYPINYIN = True
+    # The reference loads the cc_cedict phrase-pinyin dictionary before any
+    # G2P (frontend_cn.py:20-21) — it overrides pypinyin's default polyphone
+    # choices for thousands of multi-character words, so skipping it changes
+    # pronunciations. Load it whenever available; it is optional packaging
+    # on top of pypinyin.
+    try:
+        from pypinyin_dict.phrase_pinyin_data import cc_cedict
+
+        cc_cedict.load()
+    except ImportError:
+        pass
 except ImportError:  # pragma: no cover
     _HAS_PYPINYIN = False
 

@@ -101,10 +101,13 @@ def _expand_money(amount: str, unit: str, cent_unit: str) -> str:
             + (unit if dollars == 1 else unit + "s")
         )
     if cents:
+        # Irregular plural: 'penny' -> 'pence' (the reference's inflect-based
+        # expander yields 'pence' for £ amounts).
+        cent_plural = "pence" if cent_unit == "penny" else cent_unit + "s"
         out.append(
             number_to_words(cents)
             + " "
-            + (cent_unit if cents == 1 else cent_unit + "s")
+            + (cent_unit if cents == 1 else cent_plural)
         )
     return " ".join(out)
 

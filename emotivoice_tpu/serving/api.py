@@ -103,6 +103,9 @@ class TTSService:
         voice: str,
         prompt: str = "",
         speed: float = 1.0,
+        # Programmatic default stays wav (dependency-free); the HTTP layers
+        # default to mp3 for schema parity with the reference
+        # (openaiapi.py:152-162) and 400 cleanly when no encoder exists.
         response_format: str = "wav",
     ) -> bytes:
         t0 = time.perf_counter()
@@ -138,9 +141,13 @@ class TTSService:
         prompt: str = "",
         speed: float = 1.0,
     ):
-        """Generator of wav bytes: header first, then int16 PCM per sentence
-        chunk as it finishes synthesis. Time-to-first-audio is one chunk,
-        not the whole utterance (the reference has no streaming path)."""
+        """Returns a generator of wav bytes: header first, then int16 PCM per
+        sentence chunk as it finishes synthesis. Time-to-first-audio is one
+        chunk, not the whole utterance (the reference has no streaming path).
+
+        Validation (unknown voice, frontend errors) runs eagerly in this
+        call — before any HTTP status is committed — so callers see the same
+        400-able exceptions as the non-streaming path."""
         from emotivoice_tpu.utils.audio_io import pcm16_bytes, wav_stream_header
 
         t0 = time.perf_counter()
@@ -149,26 +156,41 @@ class TTSService:
         except Exception:
             self.metrics.observe_error()
             raise
-        yield wav_stream_header(self.engine.sr)
-        audio_s = 0.0
-        for req in reqs:
-            try:
-                result = self._synthesize([req])[0]
-            except Exception:
-                self.metrics.observe_error()
-                raise
-            audio_s += len(result.wav) / self.engine.sr
-            yield pcm16_bytes(result.wav)
-        latency = time.perf_counter() - t0
-        self.metrics.observe(latency, audio_s)
-        self._log.info(
-            "speech_stream voice=%s chars=%d chunks=%d audio=%.2fs "
-            "latency=%.3fs", voice, len(input_text), len(reqs), audio_s,
-            latency,
-        )
+
+        def gen():
+            yield wav_stream_header(self.engine.sr)
+            audio_s = 0.0
+            for req in reqs:
+                try:
+                    result = self._synthesize([req])[0]
+                except Exception:
+                    self.metrics.observe_error()
+                    raise
+                audio_s += len(result.wav) / self.engine.sr
+                yield pcm16_bytes(result.wav)
+            latency = time.perf_counter() - t0
+            self.metrics.observe(latency, audio_s)
+            self._log.info(
+                "speech_stream voice=%s chars=%d chunks=%d audio=%.2fs "
+                "latency=%.3fs", voice, len(input_text), len(reqs), audio_s,
+                latency,
+            )
+
+        return gen()
+
+
+class TranscodeUnavailable(RuntimeError):
+    """Raised when a non-wav response_format has no available encoder;
+    HTTP layers map it to a 400 so clients can retry with 'wav'."""
 
 
 def _transcode(wav_bytes: bytes, fmt: str) -> bytes:
+    """wav -> fmt via pydub when installed, else the ffmpeg binary.
+
+    The reference transcodes every response with pydub/ffmpeg and defaults
+    to mp3 (`openaiapi.py:152-182`); we keep that request schema but fail
+    with a clean, actionable error in environments without an encoder.
+    """
     try:  # pragma: no cover - optional dependency
         from pydub import AudioSegment
 
@@ -176,10 +198,29 @@ def _transcode(wav_bytes: bytes, fmt: str) -> bytes:
         out = io.BytesIO()
         seg.export(out, format=fmt)
         return out.getvalue()
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            f"response_format={fmt!r} needs pydub/ffmpeg; use 'wav'"
-        ) from e
+    except ImportError:
+        pass
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg:  # pragma: no cover - needs ffmpeg binary
+        proc = subprocess.run(
+            [ffmpeg, "-v", "error", "-i", "pipe:0", "-f", fmt, "pipe:1"],
+            input=wav_bytes,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        if proc.returncode == 0 and proc.stdout:
+            return proc.stdout
+        raise TranscodeUnavailable(
+            f"ffmpeg failed for response_format={fmt!r}: "
+            f"{proc.stderr.decode(errors='replace')[:200]}"
+        )
+    raise TranscodeUnavailable(
+        f"response_format={fmt!r} needs pydub or an ffmpeg binary; "
+        "retry with response_format='wav'"
+    )
 
 
 def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
@@ -188,10 +229,12 @@ def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
     from pydantic import BaseModel, Field
 
     class SpeechRequest(BaseModel):
+        # Schema parity with the reference (openaiapi.py:152-162): the
+        # OpenAI TTS default response_format is mp3.
         input: str
         voice: str = "8051"
         prompt: str = ""
-        response_format: str = "wav"
+        response_format: str = "mp3"
         speed: float = Field(1.0, ge=0.25, le=4.0)
         stream: bool = False
 
@@ -229,7 +272,7 @@ def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
             data = service.speech(
                 req.input, req.voice, req.prompt, req.speed, req.response_format
             )
-        except KeyError as e:
+        except (KeyError, TranscodeUnavailable) as e:
             raise HTTPException(status_code=400, detail=str(e))
         media = "audio/wav" if req.response_format in ("wav", "") else (
             f"audio/{req.response_format}"
@@ -244,6 +287,12 @@ def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # Chunked transfer-encoding (the streaming path) only exists in
+        # HTTP/1.1; the BaseHTTPRequestHandler default is HTTP/1.0, under
+        # which spec-compliant clients would read the hex chunk framing as
+        # body bytes. Safe: every non-chunked reply sends Content-Length.
+        protocol_version = "HTTP/1.1"
+
         def do_POST(self):
             if self.path.rstrip("/") != "/v1/audio/speech":
                 self.send_error(404)
@@ -259,15 +308,15 @@ def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
                     str(body.get("voice", "8051")),
                     body.get("prompt", ""),
                     float(body.get("speed", 1.0)),
-                    body.get("response_format", "wav"),
+                    body.get("response_format", "mp3"),
                 )
-            except KeyError as e:
+            except (KeyError, TranscodeUnavailable) as e:
                 self.send_error(400, str(e))
                 return
             except Exception as e:  # surface errors as 500 with message
                 self.send_error(500, str(e))
                 return
-            fmt = body.get("response_format", "wav") or "wav"
+            fmt = body.get("response_format", "mp3") or "mp3"
             self.send_response(200)
             self.send_header("Content-Type", f"audio/{fmt}")
             self.send_header("Content-Length", str(len(data)))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Optional, Tuple
 
@@ -80,11 +81,14 @@ class MicroBatcher:
         if first is None:
             return []
         batch = [first]
-        deadline = self.max_wait_ms / 1000.0
+        # Absolute deadline: the first request waits at most max_wait_ms in
+        # total, however the followers trickle in.
+        deadline = time.monotonic() + self.max_wait_ms / 1000.0
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
             try:
-                if deadline > 0:
-                    item = self._queue.get(timeout=deadline)
+                if remaining > 0:
+                    item = self._queue.get(timeout=remaining)
                 else:
                     item = self._queue.get_nowait()
             except queue.Empty:

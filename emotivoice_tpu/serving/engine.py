@@ -90,7 +90,18 @@ class SynthesisEngine:
             self._n_data = mesh.shape[data_axis]
             self._data_sharding = NamedSharding(mesh, P(data_axis))
             self._replicated = NamedSharding(mesh, P())
-            self.params = jax.device_put(params, self._replicated)
+            if mesh.shape.get(cfg.mesh.model_axis, 1) > 1:
+                # Tensor-parallel inference: vocoder channels / attention
+                # heads partition over the 'model' axis (parallel/sharding.py)
+                # instead of replicating the weights on every chip.
+                from emotivoice_tpu.parallel.sharding import tree_shardings
+
+                self.params = jax.device_put(
+                    params,
+                    tree_shardings(params, mesh, cfg.mesh.model_axis),
+                )
+            else:
+                self.params = jax.device_put(params, self._replicated)
         self.text_buckets = tuple(text_buckets)
         self.mel_buckets = tuple(mel_buckets)
         self.batch_buckets = tuple(batch_buckets)
@@ -100,8 +111,12 @@ class SynthesisEngine:
         self.up = cfg.vocoder.upsample_factor
 
     @functools.lru_cache(maxsize=64)
-    def _compiled(self, t_text: int, max_frames: int, alpha: float):
-        def fn(params, tokens, text_lengths, speaker, style, content):
+    def _compiled(self, t_text: int, max_frames: int):
+        # alpha (duration scale = 1/speed) is a *traced* scalar, not a
+        # static closure: arbitrary client speed values reuse one executable
+        # per (text, mel, batch) bucket instead of recompiling and churning
+        # this cache.
+        def fn(params, tokens, text_lengths, speaker, style, content, alpha):
             out = self.model.apply(
                 params, tokens, text_lengths, speaker, style, content,
                 max_frames=max_frames, alpha=alpha,
@@ -146,7 +161,7 @@ class SynthesisEngine:
             style[i] = r.style_embedding
             content[i] = r.content_embedding
 
-        fn = self._compiled(t_text, max_frames, float(alpha))
+        fn = self._compiled(t_text, max_frames)
         arrays = (tokens, lengths, speaker, style, content)
         if self._data_sharding is not None:
             arrays = tuple(
@@ -154,7 +169,7 @@ class SynthesisEngine:
             )
         else:
             arrays = tuple(jnp.asarray(a) for a in arrays)
-        wav, n_frames = fn(self.params, *arrays)
+        wav, n_frames = fn(self.params, *arrays, jnp.float32(alpha))
         wav = np.asarray(wav)
         n_frames = np.asarray(n_frames)
         return [
@@ -189,7 +204,7 @@ class SynthesisEngine:
             est = int(t_bucket * self.frames_per_token)
             if _bucket(est, self.mel_buckets) != max_frames:
                 # fall back to direct compile for non-default mel buckets
-                fn = self._compiled(t_text, max_frames, 1.0)
+                fn = self._compiled(t_text, max_frames)
                 arrays = (
                     np.zeros((b, t_text), np.int32),
                     np.ones((b,), np.int32),
@@ -201,6 +216,8 @@ class SynthesisEngine:
                     arrays = tuple(
                         jax.device_put(a, self._data_sharding) for a in arrays
                     )
-                jax.block_until_ready(fn(self.params, *arrays))
+                jax.block_until_ready(
+                    fn(self.params, *arrays, jnp.float32(1.0))
+                )
             else:
                 self.synthesize_batch([req] * b)

@@ -259,6 +259,54 @@ class TestStreaming:
         whole = svc.speech(text, "0")
         assert pcm_stream == whole[44:]  # same PCM as the one-shot wav
 
+    def test_mp3_without_encoder_raises_cleanly(self, engine):
+        """HTTP layers default to mp3 (reference schema); without pydub or
+        an ffmpeg binary the service must raise TranscodeUnavailable (mapped
+        to a 400), not crash or silently return wav bytes."""
+        import shutil
+
+        import pytest
+
+        from emotivoice_tpu.serving.api import TranscodeUnavailable, TTSService
+
+        try:
+            import pydub  # noqa: F401
+
+            pytest.skip("pydub installed; transcode would succeed")
+        except ImportError:
+            pass
+        if shutil.which("ffmpeg"):
+            pytest.skip("ffmpeg present; transcode would succeed")
+
+        d = engine.cfg.am.bert_embedding
+        svc = TTSService(
+            engine,
+            g2p_fn=lambda text: "<sos/eos> a <sos/eos>",
+            embed_fn=lambda text: np.zeros(d, np.float32),
+            speaker2id={"0": 0},
+            batching=False,
+        )
+        with pytest.raises(TranscodeUnavailable, match="wav"):
+            svc.speech("hello", "0", response_format="mp3")
+
+    def test_stream_validates_before_first_yield(self, engine):
+        """Unknown voice must raise at call time (so HTTP layers can send a
+        400), not mid-iteration after a 200 has been committed."""
+        import pytest
+
+        from emotivoice_tpu.serving.api import TTSService
+
+        d = engine.cfg.am.bert_embedding
+        svc = TTSService(
+            engine,
+            g2p_fn=lambda text: "<sos/eos> a <sos/eos>",
+            embed_fn=lambda text: np.zeros(d, np.float32),
+            speaker2id={"0": 0},
+            batching=False,
+        )
+        with pytest.raises(KeyError):
+            svc.speech_stream("hello", "missing-voice")
+
 
 class TestMetrics:
     def test_metrics_snapshot_after_requests(self, engine):
@@ -304,3 +352,38 @@ class TestWarmup:
         before = e._compiled.cache_info().hits
         e.synthesize_batch([_req(engine, ["<sos/eos>", "a", "<sos/eos>"])])
         assert e._compiled.cache_info().hits > before
+
+
+class TestCogPredictor:
+    def test_predict_writes_wav(self, engine, tmp_path):
+        """Cog-style predictor (reference predict.py:99-234) over an
+        existing engine: language guard + wav file output."""
+        import pytest
+
+        from emotivoice_tpu.serving.cog_predictor import Predictor
+        from emotivoice_tpu.utils.audio_io import read_wav
+
+        p = Predictor()
+        p.setup(engine=engine)
+        p.speaker2id = {"0": 0}
+        d = engine.cfg.am.bert_embedding
+        p.embed_fn = lambda text: np.zeros(d, np.float32)
+        # our tiny-engine vocab only has a/b/c; monkeypatch g2p via lexicon
+        import emotivoice_tpu.serving.cog_predictor as mod
+
+        path = None
+        try:
+            import emotivoice_tpu.frontend.en as en_mod
+
+            orig = en_mod.get_eng_phoneme
+            en_mod.get_eng_phoneme = (
+                lambda text, lex, pad_sos_eos=True: "<sos/eos> a b <sos/eos>"
+            )
+            path = p.predict(content="hello", speaker="0")
+        finally:
+            en_mod.get_eng_phoneme = orig
+        sr, wav = read_wav(str(path))
+        assert sr == engine.sr and len(wav) > 0
+
+        with pytest.raises(ValueError, match="Chinese"):
+            p.predict(content="你好", language="English", speaker="0")

@@ -206,6 +206,9 @@ class TestEnglishNumbers:
         )
         assert normalize_numbers("$2.50") == "two dollars fifty cents"
         assert normalize_numbers("$1") == "one dollar"
+        # Irregular pound sub-unit plural (inflect in the reference: 'pence')
+        assert normalize_numbers("£2.50") == "two pounds fifty pence"
+        assert normalize_numbers("£1.01") == "one pound one penny"
         assert normalize_numbers("3.14") == "three point one four"
         assert normalize_numbers("in 1984") == "in nineteen eighty four"
         assert normalize_numbers("1,000") == "one thousand"
@@ -226,3 +229,62 @@ class TestEnglishNumbers:
             import pytest
 
             pytest.skip("pypinyin not installed")
+
+
+class TestCnDictionary:
+    def test_cc_cedict_loaded_when_pypinyin_present(self):
+        """The reference loads pypinyin_dict's cc_cedict phrase data before
+        any G2P (frontend_cn.py:20-21); our module must do the same whenever
+        pypinyin is importable. Verified with stub modules so the test runs
+        in environments without pypinyin."""
+        import importlib
+        import sys
+        import types
+
+        calls = []
+        fake_pypinyin = types.ModuleType("pypinyin")
+        fake_pypinyin.Style = types.SimpleNamespace(TONE3="tone3")
+        fake_pypinyin.pinyin = lambda word, style=None, **kw: [
+            ["ni3"] for _ in word
+        ]
+        fake_dict = types.ModuleType("pypinyin_dict")
+        fake_phrase = types.ModuleType("pypinyin_dict.phrase_pinyin_data")
+        fake_cedict = types.ModuleType(
+            "pypinyin_dict.phrase_pinyin_data.cc_cedict"
+        )
+        fake_cedict.load = lambda: calls.append("load")
+        fake_phrase.cc_cedict = fake_cedict
+
+        saved = {
+            k: sys.modules.get(k)
+            for k in (
+                "pypinyin",
+                "pypinyin_dict",
+                "pypinyin_dict.phrase_pinyin_data",
+                "pypinyin_dict.phrase_pinyin_data.cc_cedict",
+            )
+        }
+        try:
+            sys.modules["pypinyin"] = fake_pypinyin
+            sys.modules["pypinyin_dict"] = fake_dict
+            sys.modules["pypinyin_dict.phrase_pinyin_data"] = fake_phrase
+            sys.modules["pypinyin_dict.phrase_pinyin_data.cc_cedict"] = (
+                fake_cedict
+            )
+            import emotivoice_tpu.frontend.cn as cn
+
+            cn = importlib.reload(cn)
+            assert calls == ["load"]
+            assert cn._HAS_PYPINYIN
+            # hanzi G2P routes through the (stubbed) dictionary
+            out = cn.g2p_cn("你好")
+            assert out.startswith("<sos/eos>") and "i3" in out
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = v
+            import emotivoice_tpu.frontend.cn as cn
+
+            importlib.reload(cn)
