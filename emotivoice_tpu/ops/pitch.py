@@ -57,7 +57,11 @@ def _interp_unvoiced(pitch: jnp.ndarray, voiced: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sr", "hop_length", "frame_length", "pitch_min", "pitch_max")
+    jax.jit,
+    static_argnames=(
+        "sr", "hop_length", "frame_length", "pitch_min", "pitch_max",
+        "return_voiced",
+    ),
 )
 def extract_pitch(
     wav: jnp.ndarray,
@@ -67,8 +71,12 @@ def extract_pitch(
     pitch_min: float = 80.0,
     pitch_max: float = 400.0,
     nac_threshold: float = 0.3,
+    return_voiced: bool = False,
 ) -> jnp.ndarray:
-    """(B, T) or (T,) waveform -> (B, 1 + T//hop) F0 in Hz."""
+    """(B, T) or (T,) waveform -> (B, 1 + T//hop) F0 in Hz.
+
+    With ``return_voiced=True`` additionally returns the per-frame voicing
+    decision (before unvoiced-gap interpolation) for validation/metrics."""
     squeeze = wav.ndim == 1
     if squeeze:
         wav = wav[None]
@@ -93,7 +101,23 @@ def extract_pitch(
     e0 = acf[..., 0:1]
     nac = acf[..., lag_min : lag_max + 1] / jnp.maximum(e0, 1e-10)
 
-    best = jnp.argmax(nac, axis=-1)
+    # Octave-robust peak pick (the classic NAC failure is choosing a longer
+    # lag — a subharmonic/octave-down — whose peak is marginally higher):
+    # among lags whose peak is within `octave_margin` of the global max, take
+    # the SHORTEST lag, like Praat's octave-cost tie-break.
+    octave_margin = 0.85
+    gmax = jnp.max(nac, axis=-1, keepdims=True)
+    good = nac >= octave_margin * jnp.maximum(gmax, 1e-10)
+    first_good = jnp.argmax(good, axis=-1)
+    # A candidate counts only if it is itself a local peak; otherwise fall
+    # back to the global argmax.
+    inner = nac[..., 1:-1]
+    is_peak = (inner >= nac[..., :-2]) & (inner >= nac[..., 2:])
+    is_peak = jnp.pad(is_peak, [(0, 0)] * (nac.ndim - 1) + [(1, 1)])
+    fg_peak = jnp.take_along_axis(
+        is_peak, first_good[..., None], axis=-1
+    )[..., 0]
+    best = jnp.where(fg_peak, first_good, jnp.argmax(nac, axis=-1))
     peak = jnp.take_along_axis(nac, best[..., None], axis=-1)[..., 0]
 
     # Parabolic interpolation around the best integer lag.
@@ -111,7 +135,11 @@ def extract_pitch(
     f0 = jnp.where(voiced, f0, 0.0)
 
     f0 = jax.vmap(_interp_unvoiced)(f0, voiced)
-    return f0[0] if squeeze else f0
+    if squeeze:
+        f0, voiced = f0[0], voiced[0]
+    if return_voiced:
+        return f0, voiced
+    return f0
 
 
 def normalize_pitch(f0: jnp.ndarray, stats=(225.089, 53.78)) -> jnp.ndarray:
