@@ -370,3 +370,30 @@ class TestTConvMatmulForm:
         np.testing.assert_allclose(
             np.asarray(y_mm), np.asarray(y_lax), atol=2e-5
         )
+
+
+class TestPackedConv:
+    def test_matches_lax_conv_across_shapes(self):
+        """Lane-packed dilated conv (ops/packed_conv.py) is numerically
+        exact vs lax.conv at every MRF (K, dilation) and both small-channel
+        stage widths, including non-multiple-of-pack lengths."""
+        import jax.numpy as jnp
+
+        from emotivoice_tpu.ops.packed_conv import packed_dilated_conv
+
+        rng = np.random.RandomState(0)
+        for t, c, pack in ((256, 32, 4), (250, 32, 4), (128, 64, 2)):
+            for k, d in ((3, 1), (7, 3), (11, 5), (11, 1)):
+                x = jnp.asarray(rng.randn(2, t, c), jnp.float32)
+                w = jnp.asarray(0.1 * rng.randn(k, c, c), jnp.float32)
+                bias = jnp.asarray(rng.randn(c), jnp.float32)
+                pad = (k - 1) // 2 * d
+                ref = jax.lax.conv_general_dilated(
+                    x, w, (1,), [(pad, pad)], rhs_dilation=(d,),
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                ) + bias
+                got = packed_dilated_conv(x, w, d, pack, bias=bias)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), atol=2e-5,
+                    err_msg=f"T{t} C{c} K{k} d{d}",
+                )
