@@ -77,6 +77,14 @@ class FeatureExtractor:
             return None
         return os.path.join(self.cache_dir, f"{key}.npz")
 
+    # Wav lengths are quantized up to this many samples before extraction so
+    # the jitted feature ops compile O(1) shapes instead of one per distinct
+    # utterance length (each cold compile through a remote TPU transport
+    # costs minutes); features are sliced back to the true frame count.
+    # Boundary effect: the last ~win/hop frames see zero- instead of
+    # reflect-padding — negligible for training targets.
+    length_quantum: int = 8192
+
     def __call__(self, key: str, wav: np.ndarray) -> Dict[str, np.ndarray]:
         cp = self._cache_path(key)
         if cp and os.path.exists(cp):
@@ -89,7 +97,10 @@ class FeatureExtractor:
         from emotivoice_tpu.ops.stft import frame_energy
 
         a = self.cfg.audio
-        w = jnp.asarray(wav)
+        q = self.length_quantum
+        n_true = 1 + len(wav) // a.hop_length
+        padded = -(-len(wav) // q) * q
+        w = jnp.asarray(np.pad(wav, (0, padded - len(wav))))
         mel = np.asarray(
             mel_spectrogram(
                 w, a.sampling_rate, a.n_fft, a.hop_length, a.win_length,
@@ -107,7 +118,7 @@ class FeatureExtractor:
         )
         energy = np.asarray(frame_energy(w, a.n_fft, a.hop_length, a.win_length))
         energy = (energy - a.energy_stats[0]) / a.energy_stats[1]
-        n = min(mel.shape[0], len(pitch), len(energy))
+        n = min(mel.shape[0], len(pitch), len(energy), n_true)
         feats = {
             "mel": mel[:n].astype(np.float32),
             "pitch": pitch[:n].astype(np.float32),
