@@ -387,3 +387,19 @@ class TestCogPredictor:
 
         with pytest.raises(ValueError, match="Chinese"):
             p.predict(content="你好", language="English", speaker="0")
+
+
+class TestCompileCache:
+    def test_enable_persistent_cache_sets_config(self, tmp_path):
+        import jax
+
+        from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
+
+        d = enable_persistent_cache(str(tmp_path / "jaxcache"))
+        try:
+            assert jax.config.jax_compilation_cache_dir == d
+            import os
+
+            assert os.path.isdir(d)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)

@@ -41,9 +41,17 @@ def main():
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed; run one server per host "
                         "behind a load balancer (docs/MULTIHOST.md)")
+    p.add_argument("--jax-cache", default="",
+                   help="persistent XLA compile-cache dir (default "
+                        "~/.cache/emotivoice_tpu/jax; 'off' disables)")
     args = p.parse_args()
 
     import jax
+
+    if args.jax_cache != "off":
+        from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(args.jax_cache or None)
 
     if args.multihost:
         from emotivoice_tpu.parallel.multihost import initialize_multihost

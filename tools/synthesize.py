@@ -35,9 +35,17 @@ def main():
     p.add_argument("--output-dir", default="outputs/test_audio")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--jax-cache", default="",
+                   help="persistent XLA compile-cache dir (default "
+                        "~/.cache/emotivoice_tpu/jax; 'off' disables)")
     args = p.parse_args()
 
     import jax
+
+    if args.jax_cache != "off":
+        from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(args.jax_cache or None)
 
     from emotivoice_tpu.config import EmotiVoiceConfig
     from emotivoice_tpu.frontend.tokens import TokenVocab

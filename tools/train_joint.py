@@ -41,9 +41,17 @@ def main():
                    help="initialize jax.distributed (one process per host "
                         "on a pod slice); shards the datalist per process "
                         "and treats --batch-size as the GLOBAL batch")
+    p.add_argument("--jax-cache", default="",
+                   help="persistent XLA compile-cache dir (default "
+                        "~/.cache/emotivoice_tpu/jax; 'off' disables)")
     args = p.parse_args()
 
     import numpy as np
+
+    if args.jax_cache != "off":
+        from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(args.jax_cache or None)
 
     process_index, process_count = 0, 1
     if args.multihost:
