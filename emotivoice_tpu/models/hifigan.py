@@ -350,7 +350,11 @@ class HiFiGANGenerator(nn.Module):
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, mel: jnp.ndarray, *, stages: Optional[int] = None
+    ) -> jnp.ndarray:
+        """stages: run only the first N upsample levels and return the raw
+        activation — profiling/bench use only (tools/exp_vocoder_stages.py)."""
         c = self.cfg
         if self.dtype is not None:
             mel = mel.astype(self.dtype)
@@ -361,6 +365,8 @@ class HiFiGANGenerator(nn.Module):
             c.initial_channel, c.upsample_initial_channel, 7, padding=3,
             name="conv_pre",
         )(mel)
+        if stages == 0:
+            return x
         in_ch = c.upsample_initial_channel
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             out_ch = c.upsample_initial_channel // (2 ** (i + 1))
@@ -383,6 +389,8 @@ class HiFiGANGenerator(nn.Module):
                 acc = r if acc is None else acc + r
             x = acc / num_kernels
             in_ch = out_ch
+            if stages is not None and i + 1 >= stages:
+                return x
         # NOTE: reference uses default slope 0.01 for the final activation
         # (models.py:133 F.leaky_relu without slope arg).
         x = nn.leaky_relu(x, 0.01)

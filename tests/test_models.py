@@ -397,3 +397,45 @@ class TestPackedConv:
                     np.asarray(got), np.asarray(ref), atol=2e-5,
                     err_msg=f"T{t} C{c} K{k} d{d}",
                 )
+
+
+class TestS2DConv:
+    def test_matches_lax_conv(self):
+        """Space-to-depth conv (ops/s2d_conv.py) is exact vs lax.conv at
+        every MRF (K, d) pair and pack factor."""
+        import jax.numpy as jnp
+
+        from emotivoice_tpu.ops.s2d_conv import s2d_conv
+
+        rng = np.random.RandomState(0)
+        for c, s in ((32, 4), (32, 8), (64, 2)):
+            for k, d in ((3, 1), (7, 3), (11, 5), (11, 1)):
+                x = jnp.asarray(rng.randn(2, 256, c), jnp.float32)
+                w = jnp.asarray(0.1 * rng.randn(k, c, c), jnp.float32)
+                pad = (k - 1) // 2 * d
+                ref = jax.lax.conv_general_dilated(
+                    x, w, (1,), [(pad, pad)], rhs_dilation=(d,),
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                )
+                got = s2d_conv(x, w, d, s)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), atol=2e-5,
+                    err_msg=f"C{c} K{k} d{d} s{s}",
+                )
+
+    def test_generator_stage_truncation(self):
+        """stages= profiling knob returns intermediate activations with the
+        right shapes."""
+        from emotivoice_tpu.config import tiny_test_config
+        from emotivoice_tpu.models.hifigan import HiFiGANGenerator
+
+        cfg = tiny_test_config().vocoder
+        gen = HiFiGANGenerator(cfg)
+        mel = jnp.zeros((1, 8, cfg.initial_channel))
+        params = gen.init(jax.random.PRNGKey(0), mel)
+        x0 = gen.apply(params, mel, stages=0)
+        assert x0.shape == (1, 8, cfg.upsample_initial_channel)
+        x2 = gen.apply(params, mel, stages=2)
+        assert x2.shape == (1, 8 * 64, cfg.upsample_initial_channel // 4)
+        full = gen.apply(params, mel)
+        assert full.shape == (1, 8 * cfg.upsample_factor)
