@@ -34,6 +34,10 @@ class AudioConfig:
     # Corpus z-score stats (reference config/joint/config.py:108,111).
     pitch_stats: Tuple[float, float] = (225.089, 53.78)
     energy_stats: Tuple[float, float] = (30.610, 21.78)
+    # "jax" = on-device NAC extractor (ops/pitch.py, default); "pyworld" =
+    # exact reference DIO+StoneMask on host (optional dependency) for users
+    # who want bit-level reference pitch targets (feats.py:115-130).
+    pitch_backend: str = "jax"
 
     @property
     def frames_per_second(self) -> float:

@@ -107,15 +107,23 @@ class FeatureExtractor:
                 a.n_mels, a.fmin, a.fmax,
             )
         ).T  # (T, n_mels)
-        pitch = np.asarray(
-            normalize_pitch(
-                extract_pitch(
-                    w, a.sampling_rate, a.hop_length, a.n_fft,
-                    a.pitch_min, a.pitch_max,
-                ),
-                a.pitch_stats,
+        if a.pitch_backend == "pyworld":
+            from emotivoice_tpu.ops.pitch import extract_pitch_pyworld
+
+            f0 = extract_pitch_pyworld(
+                np.asarray(w), a.sampling_rate, a.hop_length
             )
-        )
+            pitch = np.asarray(normalize_pitch(f0, a.pitch_stats))
+        else:
+            pitch = np.asarray(
+                normalize_pitch(
+                    extract_pitch(
+                        w, a.sampling_rate, a.hop_length, a.n_fft,
+                        a.pitch_min, a.pitch_max,
+                    ),
+                    a.pitch_stats,
+                )
+            )
         energy = np.asarray(frame_energy(w, a.n_fft, a.hop_length, a.win_length))
         energy = (energy - a.energy_stats[0]) / a.energy_stats[1]
         n = min(mel.shape[0], len(pitch), len(energy), n_true)
@@ -264,6 +272,7 @@ class BucketedLoader:
         seed: int = 0,
         drop_last: bool = True,
         shuffle: bool = True,
+        pad_to_batch: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -271,6 +280,10 @@ class BucketedLoader:
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
         self.shuffle = shuffle
+        # Pad final partial batches by repeating rows so every emitted batch
+        # has exactly batch_size rows — validation then reuses the training
+        # shape grid instead of compiling one-off small-batch executables.
+        self.pad_to_batch = pad_to_batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = (
@@ -291,8 +304,14 @@ class BucketedLoader:
                 bucket.clear()
         if not self.drop_last:
             for bucket in pending.values():
-                if bucket:
-                    yield collate(bucket, self.spec, hop)
+                if not bucket:
+                    continue
+                if self.pad_to_batch:
+                    i = 0
+                    while len(bucket) < self.batch_size:
+                        bucket.append(bucket[i % len(bucket)])
+                        i += 1
+                yield collate(bucket, self.spec, hop)
 
 
 class PrefetchLoader:

@@ -27,8 +27,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from emotivoice_tpu.config import DiscriminatorConfig, VocoderConfig
+from emotivoice_tpu.ops.s2d_conv import s2d_conv_packed
 
 LRELU_SLOPE = 0.1
+
+
+def _stage_pack_factor(channels: int, t: int) -> int:
+    """Space-to-depth pack factor for a whole small-channel upsample stage.
+
+    Isolated per-conv measurements (tools/exp_s2d_conv.py, v5e bf16,
+    production batch-16 stage shapes) show the packed conv wins 1.3-1.8x at
+    K=7/11 for C=64/32, but wiring it per conv LOSES in-model (131 ms vs
+    84 ms full vocoder): the (B,T,C<128)<->(B,T/s,s*C) reshape is a tiled-
+    layout relayout copy paid twice per conv and it breaks XLA's
+    leaky_relu/add fusions. So packing is applied per STAGE: one relayout
+    after the transposed conv, every MRF conv/residual in packed layout
+    (s*C = 128 full lanes), one relayout at stage exit. Acceptance is the
+    in-model stage delta (tools/exp_vocoder_stages.py)."""
+    if channels >= 128:
+        return 0
+    s = 128 // channels
+    return s if t % s == 0 else 0
 
 
 def _norm_except_dim0(v: jnp.ndarray) -> jnp.ndarray:
@@ -276,11 +295,17 @@ class ResBlock1(nn.Module):
     kernel_size: int
     dilations: Sequence[int]
     use_pallas: bool = False
+    # >1: input/output are space-to-depth packed (B, T/packed,
+    # packed*channels); the whole block runs in packed layout
+    # (see _stage_pack_factor).
+    packed: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_pallas:
             return self._pallas_forward(x)
+        if self.packed > 1:
+            return self._packed_forward(x)
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = WNConv1d(
@@ -292,6 +317,23 @@ class ResBlock1(nn.Module):
                 self.channels, self.channels, self.kernel_size, dilation=1,
                 name=f"convs2_{i}",
             )(xt)
+            x = x + xt
+        return x
+
+    def _packed_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Same math, packed layout: params are the ordinary WNConv1d
+        (g, v, b) tensors (checkpoints unchanged); only the lowering packs
+        the kernel (ops/s2d_conv.py:pack_weight) and tiles the bias."""
+        c, k, s = self.channels, self.kernel_size, self.packed
+        for i, d in enumerate(self.dilations):
+            sub1 = WNConv1d(c, c, k, dilation=d, name=f"convs1_{i}")
+            sub2 = WNConv1d(c, c, k, dilation=1, name=f"convs2_{i}")
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = s2d_conv_packed(xt, sub1.folded_hio().astype(x.dtype), d, s)
+            xt = xt + jnp.tile(sub1.b.astype(x.dtype), s)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = s2d_conv_packed(xt, sub2.folded_hio().astype(x.dtype), 1, s)
+            xt = xt + jnp.tile(sub2.b.astype(x.dtype), s)
             x = x + xt
         return x
 
@@ -347,6 +389,7 @@ class HiFiGANGenerator(nn.Module):
 
     cfg: VocoderConfig
     use_pallas: bool = False  # fused MRF kernels (TPU only)
+    use_s2d: bool = True  # measured space-to-depth MRF lowering (exact)
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
@@ -374,12 +417,23 @@ class HiFiGANGenerator(nn.Module):
             x = WNConvTranspose1d(
                 in_ch, out_ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}"
             )(x)
+            # Small-channel stages run their whole MRF in space-to-depth
+            # packed layout: one relayout in, one out (_stage_pack_factor).
+            pack = (
+                _stage_pack_factor(out_ch, x.shape[1])
+                if self.use_s2d and not self.use_pallas
+                and resblock_cls is ResBlock1
+                else 0
+            )
+            if pack > 1:
+                b_, t_ = x.shape[0], x.shape[1]
+                x = x.reshape(b_, t_ // pack, pack * out_ch)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
             ):
                 kw = (
-                    {"use_pallas": self.use_pallas}
+                    {"use_pallas": self.use_pallas, "packed": pack}
                     if resblock_cls is ResBlock1
                     else {}
                 )
@@ -388,6 +442,8 @@ class HiFiGANGenerator(nn.Module):
                 )(x)
                 acc = r if acc is None else acc + r
             x = acc / num_kernels
+            if pack > 1:
+                x = x.reshape(b_, t_, out_ch)
             in_ch = out_ch
             if stages is not None and i + 1 >= stages:
                 return x

@@ -22,6 +22,7 @@ from emotivoice_tpu.ops.segments import get_random_segments
 class JETSGenerator(nn.Module):
     cfg: EmotiVoiceConfig
     use_pallas: bool = False  # fused vocoder MRF kernels (TPU only)
+    use_s2d: bool = True  # measured space-to-depth MRF conv lowering (exact)
     # Compute dtype (e.g. jnp.bfloat16 for MXU inference). Params stay f32;
     # the waveform always leaves in f32. None = full f32 (training/parity).
     compute_dtype: Optional[Any] = None
@@ -30,7 +31,7 @@ class JETSGenerator(nn.Module):
         self.am = PromptTTS(self.cfg.am, dtype=self.compute_dtype)
         self.generator = HiFiGANGenerator(
             self.cfg.vocoder, use_pallas=self.use_pallas,
-            dtype=self.compute_dtype,
+            use_s2d=self.use_s2d, dtype=self.compute_dtype,
         )
 
     @property

@@ -147,3 +147,37 @@ def normalize_pitch(f0: jnp.ndarray, stats=(225.089, 53.78)) -> jnp.ndarray:
     stats from `config/joint/config.py:108`)."""
     mean, std = stats
     return (f0 - mean) / std
+
+
+def continuous_pitch_np(pitch: np.ndarray) -> np.ndarray:
+    """Host-side unvoiced-gap completion matching reference
+    `_convert_to_continuous_pitch` (feats.py:92-112): edge frames take the
+    first/last voiced value, interior gaps interpolate linearly."""
+    pitch = np.asarray(pitch, np.float64).copy()
+    nz = np.flatnonzero(pitch != 0)
+    if nz.size == 0:
+        return pitch
+    pitch[: nz[0]] = pitch[nz[0]]
+    pitch[nz[-1]:] = pitch[nz[-1]]
+    nz = np.flatnonzero(pitch != 0)
+    return np.interp(np.arange(pitch.shape[0]), nz, pitch[nz])
+
+
+def extract_pitch_pyworld(
+    wav: np.ndarray, sr: int = 16000, hop_length: int = 256
+) -> np.ndarray:
+    """Exact-reference host pitch path: pyworld DIO + StoneMask at
+    frame_period = 1000*hop/sr with pyworld's default F0 range, then
+    continuous-pitch completion (reference feats.py:115-130 — note the
+    reference passes no f0_floor/f0_ceil to dio despite holding
+    pitch_min/max). Optional: requires pyworld; the jittable
+    ``extract_pitch`` above is the default training path, this one exists
+    for users who want bit-level reference targets and for the
+    cross-validation tests (tests/test_pitch_pyworld.py)."""
+    import pyworld  # noqa: F401  (optional dependency)
+
+    x = np.asarray(wav, np.float64)
+    frame_period = 1000.0 * hop_length / sr
+    f0, t = pyworld.dio(x, fs=sr, frame_period=frame_period)
+    f0 = pyworld.stonemask(x, f0, t, sr)
+    return continuous_pitch_np(f0)

@@ -57,11 +57,24 @@ def s2d_conv(
     b, t, ci = x.shape
     co = w_hio.shape[-1]
     assert t % s == 0, (t, s)
-    wp, pl, pr = pack_weight(w_hio, dilation, s)
     xp = x.reshape(b, t // s, s * ci)
-    y = jax.lax.conv_general_dilated(
-        xp, wp, (1,), [(pl, pr)],
+    y = s2d_conv_packed(xp, w_hio, dilation, s)
+    return y.reshape(b, t, co)
+
+
+def s2d_conv_packed(
+    xp: jnp.ndarray,      # (B, T/s, s*Ci) packed activation
+    w_hio: jnp.ndarray,   # (K, Ci, Co) original kernel, stride 1, same pad
+    dilation: int = 1,
+    s: int = 4,
+) -> jnp.ndarray:
+    """Packed-in/packed-out variant: callers that keep a whole stage in the
+    space-to-depth layout (one relayout per stage instead of two per conv —
+    the (B,T,C<128)<->(B,T/s,s*C) reshape is NOT free on TPU, it's a tiled-
+    layout copy) chain these directly. Returns (B, T/s, s*Co)."""
+    wp, pl, pr = pack_weight(w_hio, dilation, s)
+    return jax.lax.conv_general_dilated(
+        xp, wp.astype(xp.dtype), (1,), [(pl, pr)],
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    return y.reshape(b, t, co)
+    ).astype(xp.dtype)

@@ -33,7 +33,10 @@ def initialize_multihost(
     CPU/GPU clusters pass them explicitly. Returns
     (process_index, process_count).
     """
-    already = jax.process_count() > 1
+    # NB: must not touch jax.process_count()/jax.devices() before
+    # jax.distributed.initialize — any backend probe locks in a
+    # single-process runtime and initialize() then raises.
+    already = jax.distributed.is_initialized()
     if not already and (
         coordinator_address is not None or _env_says_multihost()
     ):

@@ -110,7 +110,9 @@ class SynthesisEngine:
         self.sr = cfg.audio.sampling_rate
         self.up = cfg.vocoder.upsample_factor
 
-    @functools.lru_cache(maxsize=64)
+    # Sized above the full bucket grid (8 text x 9 mel = 72 combos) so an
+    # adversarial shape mix cannot thrash compiled executables out of cache.
+    @functools.lru_cache(maxsize=128)
     def _compiled(self, t_text: int, max_frames: int):
         # alpha (duration scale = 1/speed) is a *traced* scalar, not a
         # static closure: arbitrary client speed values reuse one executable
@@ -138,6 +140,16 @@ class SynthesisEngine:
                 out.extend(self.synthesize_batch(requests[i : i + cap]))
             return out
         alpha = requests[0].alpha
+        # alpha is a single traced scalar per dispatch; silently applying
+        # requests[0].alpha to a mixed batch would speed-shift other rows.
+        # MicroBatcher already groups by alpha (batcher.py); direct callers
+        # must do the same.
+        if any(r.alpha != alpha for r in requests[1:]):
+            raise ValueError(
+                "synthesize_batch requires a uniform alpha per batch; "
+                "group requests by alpha (as serving.batcher.MicroBatcher "
+                "does) or call synthesize() per request"
+            )
         token_ids = [self.vocab.encode(r.phonemes) for r in requests]
         max_len = max(len(t) for t in token_ids)
         t_text = _bucket(max_len, self.text_buckets)
@@ -188,7 +200,12 @@ class SynthesisEngine:
         by calls, not by building the wrapper, and the first compile in a
         fresh process can take minutes (serving must not eat that on a
         user request)."""
-        shapes = shapes or [(1, 32, 256), (1, 64, 512), (4, 64, 512)]
+        # Includes the production micro-batched bucket (batch 16; see
+        # bench.py / batcher max_batch) so the first loaded-traffic dispatch
+        # doesn't eat a cold compile.
+        shapes = shapes or [
+            (1, 32, 256), (1, 64, 512), (4, 64, 512), (16, 96, 768),
+        ]
         d = self.cfg.am.bert_embedding
         for b, t_text, max_frames in shapes:
             # Drive the real synthesize_batch path so warmup compiles the

@@ -142,8 +142,15 @@ def train(
     )
     state = shard_train_state(state, mesh, cfg)
 
-    t_start = time.time()
     with mesh:
+        if validate_fn is not None:
+            # Warm validation pass before the hot loop: every eval-step
+            # bucket shape compiles here, once, instead of stalling the
+            # train loop at the first mid-run validation (observed 50x
+            # steps_per_sec collapse at the post-validation window).
+            validate_fn(state, int(state.step))
+        t_start = time.time()
+        t_paused = 0.0  # validation/checkpoint time, excluded from s/s
         while int(state.step) < total_steps:
             for batch in batch_iter_fn():
                 # single-process: device_put with batch sharding; multi-host:
@@ -156,14 +163,18 @@ def train(
                 if step % log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     metrics["steps_per_sec"] = log_every / max(
-                        time.time() - t_start, 1e-6
+                        time.time() - t_start - t_paused, 1e-6
                     )
-                    t_start = time.time()
+                    t_start, t_paused = time.time(), 0.0
                     logger.log(step, metrics)
                 if validate_fn and step % cfg.train.iters_per_validation == 0:
+                    t0 = time.time()
                     validate_fn(state, step)
+                    t_paused += time.time() - t0
                 if step % cfg.train.iters_per_checkpoint == 0:
+                    t0 = time.time()
                     ckpts.save(step, jax.device_get(state))
+                    t_paused += time.time() - t0
                 if step >= total_steps:
                     break
     ckpts.save(int(state.step), jax.device_get(state))

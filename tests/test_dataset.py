@@ -121,6 +121,23 @@ class TestSyntheticCorpusPipeline:
             batches[0]["tokens"], again[0]["tokens"]
         )
 
+    def test_pad_to_batch_keeps_full_batches(self, corpus):
+        """Validation loaders (train_joint.py) pad trailing partial buckets
+        by repeating rows so eval shapes always match the training grid."""
+        ds = self._dataset(corpus)  # 6 utts
+        spec = BucketSpec(text_buckets=(32,), mel_buckets=(256,))
+        batches = list(BucketedLoader(
+            ds, 4, spec=spec, shuffle=False, drop_last=False,
+            pad_to_batch=True,
+        ))
+        assert batches
+        for b in batches:
+            assert b["tokens"].shape[0] == 4
+        # 6 utts in one (32, 256) bucket -> 1 full + 1 padded batch whose
+        # last rows repeat the partial bucket's rows
+        tail = batches[-1]
+        np.testing.assert_array_equal(tail["tokens"][2], tail["tokens"][0])
+
     def test_prefetch_matches_direct(self, corpus):
         ds = self._dataset(corpus)
         spec = BucketSpec(text_buckets=(32,), mel_buckets=(256,))

@@ -81,6 +81,18 @@ class TestEngine:
         )
         assert engine._compiled.cache_info().hits > info.hits
 
+    def test_mixed_alpha_batch_rejected(self, engine):
+        # engine.py applies one traced alpha per dispatch; a mixed batch
+        # must raise instead of silently speed-shifting rows 1..n.
+        fast = _req(engine, ["<sos/eos>", "a", "<sos/eos>"])
+        slow = _req(engine, ["<sos/eos>", "a", "<sos/eos>"])
+        slow.alpha = 1.3
+        with pytest.raises(ValueError, match="uniform alpha"):
+            engine.synthesize_batch([fast, slow])
+        # uniform non-default alpha still works
+        out = engine.synthesize_batch([slow, slow])
+        assert len(out) == 2
+
 
 class TestBF16Engine:
     def test_bf16_close_to_f32(self, engine):

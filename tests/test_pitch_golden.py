@@ -147,6 +147,35 @@ class TestVoicingDecision:
             assert np.all(np.abs(f0[inner_unvoiced] - 150.0) < 30.0)
 
 
+class TestContinuousPitchHost:
+    def test_matches_reference_semantics(self):
+        """Host-side completion (ops/pitch.py:continuous_pitch_np) follows
+        reference feats.py:92-112: edge fill + interior linear interp."""
+        from emotivoice_tpu.ops.pitch import continuous_pitch_np
+
+        f0 = np.array([0.0, 0.0, 100.0, 0.0, 0.0, 130.0, 0.0], np.float64)
+        np.testing.assert_allclose(
+            continuous_pitch_np(f0),
+            [100.0, 100.0, 100.0, 110.0, 120.0, 130.0, 130.0],
+        )
+        assert (continuous_pitch_np(np.zeros(5)) == 0).all()
+
+    def test_agrees_with_device_interpolation(self):
+        """The jnp scan (_interp_unvoiced) and the host numpy path implement
+        the same completion."""
+        from emotivoice_tpu.ops.pitch import _interp_unvoiced
+
+        rng = np.random.RandomState(3)
+        f0 = np.where(rng.rand(64) < 0.5, 0.0, 100 + 50 * rng.rand(64))
+        ours = np.asarray(
+            _interp_unvoiced(jnp.asarray(f0, jnp.float32),
+                             jnp.asarray(f0 > 0))
+        )
+        from emotivoice_tpu.ops.pitch import continuous_pitch_np
+
+        np.testing.assert_allclose(ours, continuous_pitch_np(f0), rtol=1e-5)
+
+
 class TestZScoreSanity:
     def test_normalized_range_on_speechlike_corpus(self):
         """z-scored targets for a plausible F0 corpus fall in a sane range —

@@ -14,6 +14,9 @@ import jax
 import jax.numpy as jnp
 
 from emotivoice_tpu.ops.s2d_conv import s2d_conv
+from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def conv_lax(x, w_hio, dilation):

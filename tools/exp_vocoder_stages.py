@@ -25,6 +25,7 @@ def main():
     p.add_argument("--frames", type=int, default=384)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    p.add_argument("--s2d", choices=["on", "off"], default="on")
     args = p.parse_args()
 
     import jax
@@ -32,10 +33,13 @@ def main():
 
     from emotivoice_tpu.config import EmotiVoiceConfig
     from emotivoice_tpu.models.hifigan import HiFiGANGenerator
+    from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = EmotiVoiceConfig()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
-    gen = HiFiGANGenerator(cfg.vocoder, dtype=dtype)
+    gen = HiFiGANGenerator(cfg.vocoder, dtype=dtype, use_s2d=args.s2d == "on")
     rng = np.random.RandomState(0)
     mel = jnp.asarray(
         rng.randn(args.batch, args.frames, cfg.vocoder.initial_channel),

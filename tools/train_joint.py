@@ -120,8 +120,13 @@ def main():
             args.valid_datalist, cfg, vocab, speakers, embed_fn,
             cache_dir=args.cache_dir,
         )
+        # pad_to_batch: validation reuses the training (batch, text, mel)
+        # shape grid, so after the loop's warm step-0 validation no eval
+        # shape ever compiles mid-run (fixes the post-validation
+        # steps_per_sec collapse seen in the round-2 training log).
         valid_loader = lambda: BucketedLoader(
-            valid_dataset, local_bs, shuffle=False, drop_last=False
+            valid_dataset, local_bs, shuffle=False, drop_last=False,
+            pad_to_batch=True,
         )
 
     warm_start_fn = None
