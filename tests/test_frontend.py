@@ -98,6 +98,35 @@ class TestNumbersCN:
         out = normalize_numbers("我有25个")
         assert out == "我有二十五个"
 
+    def test_up_mode(self):
+        # financial numerals (reference an2cn.py UNIT/NUMBER_UP tables)
+        assert an2cn("123", "up") == "壹佰贰拾叁"
+        assert an2cn("10", "up") == "壹拾"  # up mode keeps the leading 壹
+        assert an2cn("1005", "up") == "壹仟零伍"
+        assert an2cn("3.14", "up") == "叁点壹肆"
+
+    def test_rmb_mode(self):
+        # reference an2cn.py:63-105 元/角/分/整 branch table
+        assert an2cn("123", "rmb") == "壹佰贰拾叁元整"
+        assert an2cn("123.00", "rmb") == "壹佰贰拾叁元整"
+        assert an2cn("123.45", "rmb") == "壹佰贰拾叁元肆角伍分"
+        assert an2cn("123.4", "rmb") == "壹佰贰拾叁元肆角"
+        assert an2cn("123.05", "rmb") == "壹佰贰拾叁元零伍分"
+        assert an2cn("0.5", "rmb") == "伍角"
+        assert an2cn("0.05", "rmb") == "伍分"
+        assert an2cn("-8", "rmb") == "负捌元整"
+
+    def test_direct_mode(self):
+        assert an2cn("2023", "direct") == "二零二三"
+        assert an2cn("3.14", "direct") == "三点一四"
+        assert an2cn("-10", "direct") == "负一零"
+
+    def test_bad_mode_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            an2cn("1", "nope")
+
 
 class TestEnG2p:
     def test_structure(self):

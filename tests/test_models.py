@@ -423,6 +423,24 @@ class TestS2DConv:
                     err_msg=f"C{c} K{k} d{d} s{s}",
                 )
 
+    def test_stage_packed_generator_matches_stock(self):
+        """The production default (use_s2d=True: whole MRF stages in packed
+        layout, ResBlock1(packed=s)) is numerically identical to the stock
+        lowering on the full V1 topology."""
+        from emotivoice_tpu.config import EmotiVoiceConfig
+        from emotivoice_tpu.models.hifigan import HiFiGANGenerator
+
+        cfg = EmotiVoiceConfig().vocoder
+        rng = np.random.RandomState(0)
+        mel = jnp.asarray(rng.randn(2, 8, cfg.initial_channel), jnp.float32)
+        g_off = HiFiGANGenerator(cfg, use_s2d=False)
+        g_on = HiFiGANGenerator(cfg, use_s2d=True)
+        params = g_off.init(jax.random.PRNGKey(0), mel)
+        a = np.asarray(g_off.apply(params, mel))
+        b = np.asarray(g_on.apply(params, mel))
+        assert a.shape == b.shape == (2, 8 * 256)
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
     def test_generator_stage_truncation(self):
         """stages= profiling knob returns intermediate activations with the
         right shapes."""

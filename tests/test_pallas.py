@@ -9,6 +9,11 @@ from emotivoice_tpu.ops.pallas.resblock import (
     fused_residual_unit,
     fused_residual_unit_reference,
 )
+from emotivoice_tpu.ops.pallas.packed_stage import (
+    _conv_plan,
+    fused_mrf_stage,
+    mrf_stage_reference,
+)
 
 
 def _interpret():
@@ -43,3 +48,72 @@ class TestFusedResidualUnit:
         else:
             got = fused_residual_unit(x, w1, b1, w2, b2, k, d, 128)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def _mk_weights(rng, kernel_sizes, dilation_sizes, c, scale=0.04):
+    # scale ~0.04 keeps activations O(1) through the 6-conv residual chains
+    # (matches trained HiFi-GAN magnitudes); larger scales blow activations
+    # up to ~1e3 where f32 summation-order noise alone exceeds the atol.
+    weights = []
+    for k, dils in zip(kernel_sizes, dilation_sizes):
+        units = []
+        for _ in dils:
+            units.append(tuple(
+                jnp.asarray(a.astype(np.float32))
+                for a in (rng.randn(k, c, c) * scale, rng.randn(c) * 0.02,
+                          rng.randn(k, c, c) * scale, rng.randn(c) * 0.02)
+            ))
+        weights.append(tuple(units))
+    return tuple(weights)
+
+
+class TestFusedMRFStage:
+    def test_conv_plan_covers_every_tap(self):
+        for k in (3, 7, 11):
+            for d in (1, 3, 5):
+                for s in (1, 2, 4):
+                    cp = _conv_plan(k, d, s)
+                    placed = sorted(
+                        (i, j) for a in cp["w_assign"] for (i, j, _) in a
+                    )
+                    assert placed == sorted(
+                        (i, j) for i in range(k) for j in range(s)
+                    ), (k, d, s)
+
+    @pytest.mark.parametrize("c,s", [(32, 4), (64, 2), (128, 1)])
+    def test_matches_stock_lowering(self, c, s):
+        """Full V1 MRF topology (k 3/7/11, d (1,3,5)) on a T that is not a
+        multiple of the tile: exercises halos, edge masking, tail crop."""
+        kernel_sizes = (3, 7, 11)
+        dilation_sizes = ((1, 3, 5),) * 3
+        rng = np.random.RandomState(0)
+        b, t = 2, 1000 * s  # Tp=1000, block 256 -> 4 tiles individually masked
+        x = jnp.asarray(rng.randn(b, t, c).astype(np.float32)) * 0.5
+        weights = _mk_weights(rng, kernel_sizes, dilation_sizes, c)
+
+        want = mrf_stage_reference(x, weights, kernel_sizes, dilation_sizes)
+        xp = x.reshape(b, t // s, s * c)
+        got = fused_mrf_stage(
+            xp, weights, s, kernel_sizes, dilation_sizes,
+            block_rows=256, interpret=_interpret(),
+        ).reshape(b, t, c)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4,
+        )
+
+    def test_tiny_t_single_tile(self):
+        kernel_sizes = (3, 7)
+        dilation_sizes = ((1, 3), (1, 5))
+        c, s = 32, 4
+        rng = np.random.RandomState(1)
+        b, t = 1, 96
+        x = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        weights = _mk_weights(rng, kernel_sizes, dilation_sizes, c)
+        want = mrf_stage_reference(x, weights, kernel_sizes, dilation_sizes)
+        got = fused_mrf_stage(
+            x.reshape(b, t // s, s * c), weights, s, kernel_sizes,
+            dilation_sizes, block_rows=512, interpret=_interpret(),
+        ).reshape(b, t, c)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4,
+        )

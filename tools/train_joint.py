@@ -22,6 +22,10 @@ def main():
                         "--iters-per-validation steps (reference "
                         "train_am_vocoder_joint.py:432-434)")
     p.add_argument("--iters-per-validation", type=int, default=1000)
+    p.add_argument("--iters-per-checkpoint", type=int, default=None,
+                   help="checkpoint period (default from TrainConfig; "
+                        "reference saves every 10k/5k, "
+                        "train_am_vocoder_joint.py:444-452)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tokenlist", default=None)
     p.add_argument("--speakers", default=None)
@@ -86,6 +90,8 @@ def main():
         train=TrainConfig(
             batch_size=args.batch_size,
             iters_per_validation=args.iters_per_validation,
+            **({"iters_per_checkpoint": args.iters_per_checkpoint}
+               if args.iters_per_checkpoint else {}),
         ),
     )
 
