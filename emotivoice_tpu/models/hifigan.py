@@ -301,7 +301,28 @@ class ResBlock1(nn.Module):
     packed: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, weights_only: bool = False
+    ):
+        if weights_only:
+            # Param-tree-identical weight collection for the whole-stage
+            # fused Pallas kernel (ops/pallas/packed_stage.py): the parent
+            # generator gathers every unit's folded (w1, b1, w2, b2) and
+            # runs all three resblock chains in one pallas_call; this
+            # branch creates the exact same WNConv1d scopes as the compute
+            # branches so checkpoints are unchanged.
+            c, k = self.channels, self.kernel_size
+            return tuple(
+                (
+                    (s1 := WNConv1d(c, c, k, dilation=d,
+                                    name=f"convs1_{i}")).folded_hio(),
+                    s1.b,
+                    (s2 := WNConv1d(c, c, k, dilation=1,
+                                    name=f"convs2_{i}")).folded_hio(),
+                    s2.b,
+                )
+                for i, d in enumerate(self.dilations)
+            )
         if self.use_pallas:
             return self._pallas_forward(x)
         if self.packed > 1:
@@ -390,6 +411,16 @@ class HiFiGANGenerator(nn.Module):
     cfg: VocoderConfig
     use_pallas: bool = False  # fused MRF kernels (TPU only)
     use_s2d: bool = True  # measured space-to-depth MRF lowering (exact)
+    # Whole-stage fused Pallas kernel for the packed stages: all 18 MRF
+    # convs + activations + residual/merge in one VMEM-resident pallas_call
+    # (ops/pallas/packed_stage.py). Measured v5e bf16, batch 16 x 384
+    # frames (tools/exp_fused_stage.py): stage3 13.9 -> 10.6 ms vs the s2d
+    # default, stage4 10.5 -> 10.3 ms. Inference-only (no VJP) — training
+    # keeps the differentiable s2d lowering; SynthesisEngine turns this on
+    # automatically on TPU backends.
+    use_fused_stage: bool = False
+    fused_block_rows: int = 1024
+    fused_interpret: bool = False  # CPU tests only
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
@@ -428,20 +459,43 @@ class HiFiGANGenerator(nn.Module):
             if pack > 1:
                 b_, t_ = x.shape[0], x.shape[1]
                 x = x.reshape(b_, t_ // pack, pack * out_ch)
-            acc = None
-            for j, (rk, rd) in enumerate(
-                zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
-            ):
-                kw = (
-                    {"use_pallas": self.use_pallas, "packed": pack}
-                    if resblock_cls is ResBlock1
-                    else {}
+            if pack > 1 and self.use_fused_stage:
+                from emotivoice_tpu.ops.pallas.packed_stage import (
+                    fused_mrf_stage,
                 )
-                r = resblock_cls(
-                    out_ch, rk, rd, name=f"resblocks_{i * num_kernels + j}", **kw
-                )(x)
-                acc = r if acc is None else acc + r
-            x = acc / num_kernels
+
+                weights = tuple(
+                    ResBlock1(
+                        out_ch, rk, rd,
+                        name=f"resblocks_{i * num_kernels + j}",
+                    )(x, weights_only=True)
+                    for j, (rk, rd) in enumerate(
+                        zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+                    )
+                )
+                x = fused_mrf_stage(
+                    x, weights, pack,
+                    tuple(c.resblock_kernel_sizes),
+                    tuple(tuple(d) for d in c.resblock_dilation_sizes),
+                    block_rows=self.fused_block_rows,
+                    interpret=self.fused_interpret,
+                )
+            else:
+                acc = None
+                for j, (rk, rd) in enumerate(
+                    zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+                ):
+                    kw = (
+                        {"use_pallas": self.use_pallas, "packed": pack}
+                        if resblock_cls is ResBlock1
+                        else {}
+                    )
+                    r = resblock_cls(
+                        out_ch, rk, rd,
+                        name=f"resblocks_{i * num_kernels + j}", **kw
+                    )(x)
+                    acc = r if acc is None else acc + r
+                x = acc / num_kernels
             if pack > 1:
                 x = x.reshape(b_, t_, out_ch)
             in_ch = out_ch

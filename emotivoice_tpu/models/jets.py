@@ -23,6 +23,10 @@ class JETSGenerator(nn.Module):
     cfg: EmotiVoiceConfig
     use_pallas: bool = False  # fused vocoder MRF kernels (TPU only)
     use_s2d: bool = True  # measured space-to-depth MRF conv lowering (exact)
+    # Whole-stage fused Pallas MRF kernel (inference-only, no VJP; see
+    # HiFiGANGenerator.use_fused_stage). SynthesisEngine enables it on TPU.
+    use_fused_stage: bool = False
+    fused_interpret: bool = False  # CPU tests only
     # Compute dtype (e.g. jnp.bfloat16 for MXU inference). Params stay f32;
     # the waveform always leaves in f32. None = full f32 (training/parity).
     compute_dtype: Optional[Any] = None
@@ -31,7 +35,8 @@ class JETSGenerator(nn.Module):
         self.am = PromptTTS(self.cfg.am, dtype=self.compute_dtype)
         self.generator = HiFiGANGenerator(
             self.cfg.vocoder, use_pallas=self.use_pallas,
-            use_s2d=self.use_s2d, dtype=self.compute_dtype,
+            use_s2d=self.use_s2d, use_fused_stage=self.use_fused_stage,
+            fused_interpret=self.fused_interpret, dtype=self.compute_dtype,
         )
 
     @property

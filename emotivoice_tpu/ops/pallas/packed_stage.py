@@ -212,8 +212,18 @@ def _mrf_stage_kernel(
         ext_out = ext - cp["A"] - cp["B"]
         if any(m for _, m in cp["chunks"]):
             # rows-shifted-by-one copy (circular; the wrapped row is never
-            # selected — every chunk's st+1+ext stays within the extent)
-            a_next = pltpu.roll(a, ext - 1, axis=0)
+            # selected — every chunk's st+1+ext stays within the extent).
+            # Mosaic only implements sublane rotate for 32-bit data
+            # (tpu.dynamic_rotate: "not implemented: Rotate with non-32-bit
+            # data" on bf16), so narrow dtypes round-trip through f32 for
+            # the rotate — a once-per-conv VPU copy, negligible next to the
+            # chunk matmuls.
+            if a.dtype.itemsize == 4:
+                a_next = pltpu.roll(a, ext - 1, axis=0)
+            else:
+                a_next = pltpu.roll(
+                    a.astype(jnp.float32), ext - 1, axis=0
+                ).astype(a.dtype)
         else:
             a_next = a
         acc = jnp.zeros((ext_out, n_lanes), jnp.float32)

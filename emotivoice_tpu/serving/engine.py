@@ -64,6 +64,7 @@ class SynthesisEngine:
         frames_per_token: float = 8.0,
         dtype=jnp.float32,
         use_pallas: bool = False,
+        use_fused_stage: Optional[bool] = None,
         mesh=None,
     ):
         self.cfg = cfg
@@ -73,8 +74,18 @@ class SynthesisEngine:
         # doubles MXU throughput at inference; params stay f32 and the
         # waveform always comes back f32 (see models.jets.JETSGenerator).
         compute = None if dtype in (None, jnp.float32) else dtype
+        # Whole-stage fused Pallas MRF kernel: measured win on v5e
+        # (tools/exp_fused_stage.py), inference-only, Mosaic-lowered — auto
+        # on for TPU backends, off elsewhere (no CPU/GPU lowering).
+        if use_fused_stage is None:
+            # (tensor-parallel vocoders shard channels below 128 lanes —
+            # keep the XLA lowering there)
+            use_fused_stage = jax.default_backend() == "tpu" and (
+                mesh is None or mesh.shape.get(cfg.mesh.model_axis, 1) == 1
+            )
         self.model = JETSGenerator(
-            cfg, compute_dtype=compute, use_pallas=use_pallas
+            cfg, compute_dtype=compute, use_pallas=use_pallas,
+            use_fused_stage=use_fused_stage,
         )
         # Optional jax.sharding.Mesh: batches shard over the 'data' axis and
         # params replicate, so one engine drives every chip on the host
@@ -109,6 +120,11 @@ class SynthesisEngine:
         self.hop = cfg.audio.hop_length
         self.sr = cfg.audio.sampling_rate
         self.up = cfg.vocoder.upsample_factor
+        # Duration-overflow accounting (see synthesize_batch): redispatches
+        # escalate to the next mel bucket; truncations mean the largest
+        # bucket still saturated and the audio really was cut.
+        self.saturation_redispatches = 0
+        self.saturation_truncations = 0
 
     # Sized above the full bucket grid (8 text x 9 mel = 72 combos) so an
     # adversarial shape mix cannot thrash compiled executables out of cache.
@@ -156,6 +172,44 @@ class SynthesisEngine:
         est_frames = int(t_text * self.frames_per_token * max(alpha, 1.0))
         max_frames = _bucket(est_frames, self.mel_buckets)
 
+        results = self._dispatch(requests, token_ids, t_text, max_frames, alpha)
+
+        # Duration-overflow escape hatch: gaussian_upsample clamps predicted
+        # mel lengths to the bucket (models/acoustic.py), so a slow-speaking
+        # prediction that overflows `est_frames` would come back silently
+        # truncated. `n_frames == max_frames` is the saturation signal —
+        # redispatch those rows at the next bucket until they fit (or the
+        # ladder tops out, which is surfaced as a counter + warning).
+        sat = [i for i, r in enumerate(results) if r.n_frames >= max_frames]
+        while sat and max_frames < self.mel_buckets[-1]:
+            max_frames = _bucket(max_frames + 1, self.mel_buckets)
+            self.saturation_redispatches += 1
+            redo = self._dispatch(
+                [requests[i] for i in sat],
+                [token_ids[i] for i in sat],
+                t_text, max_frames, alpha,
+            )
+            for i, r in zip(sat, redo):
+                results[i] = r
+            sat = [i for i in sat if results[i].n_frames >= max_frames]
+        if sat:
+            self.saturation_truncations += len(sat)
+            import logging
+
+            logging.getLogger("emotivoice_tpu.serving").warning(
+                "%d request(s) saturated the largest mel bucket (%d frames);"
+                " audio may be truncated", len(sat), self.mel_buckets[-1],
+            )
+        return results
+
+    def _dispatch(
+        self,
+        requests: List[SynthesisRequest],
+        token_ids: List[List[int]],
+        t_text: int,
+        max_frames: int,
+        alpha: float,
+    ) -> List[SynthesisResult]:
         b = len(requests)
         bb = _bucket(b, self.batch_buckets)
         if self.mesh is not None and bb % self._n_data:
@@ -193,6 +247,69 @@ class SynthesisEngine:
 
     def synthesize(self, request: SynthesisRequest) -> SynthesisResult:
         return self.synthesize_batch([request])[0]
+
+    def _warm_one(self, b: int, t_text: int, max_frames: int):
+        """Compile + run one (batch, text, mel) bucket on dummy inputs."""
+        d = self.cfg.am.bert_embedding
+        bb = _bucket(b, self.batch_buckets)
+        if self.mesh is not None and bb % self._n_data:
+            bb = -(-bb // self._n_data) * self._n_data
+        fn = self._compiled(t_text, max_frames)
+        arrays = (
+            np.zeros((bb, t_text), np.int32),
+            np.ones((bb,), np.int32),
+            np.zeros((bb,), np.int32),
+            np.zeros((bb, d), np.float32),
+            np.zeros((bb, d), np.float32),
+        )
+        if self._data_sharding is not None:
+            arrays = tuple(
+                jax.device_put(a, self._data_sharding) for a in arrays
+            )
+        jax.block_until_ready(fn(self.params, *arrays, jnp.float32(1.0)))
+
+    def warmup_background(
+        self,
+        batches: Sequence[int] = (1, 2, 4, 8, 16),
+        progress_cb: Optional[Callable[[int, int], None]] = None,
+    ):
+        """Warm the production bucket grid on a daemon thread.
+
+        ``warmup()`` covers only a handful of shapes; the first request that
+        lands on any other (batch, text, mel) bucket eats a cold XLA compile
+        (round-1 load test: p95 44.5 s). This walks, for every batch x text
+        bucket, the mel bucket `synthesize_batch` would pick at alpha<=1 plus
+        the next one up (the duration-overflow redispatch target), compiling
+        each in the background while the server is already answering warmed
+        shapes. With the persistent compile cache enabled (default in
+        tools/serve.py) later processes replay these compiles from disk.
+        """
+        import threading
+
+        work: List[Tuple[int, int, int]] = []
+        seen = set()
+        for b in batches:
+            for t in self.text_buckets:
+                m = _bucket(int(t * self.frames_per_token), self.mel_buckets)
+                m_next = _bucket(m + 1, self.mel_buckets)
+                for mf in (m, m_next):
+                    key = (_bucket(b, self.batch_buckets), t, mf)
+                    if key not in seen:
+                        seen.add(key)
+                        work.append(key)
+
+        def run():
+            for i, (b, t, mf) in enumerate(work):
+                try:
+                    self._warm_one(b, t, mf)
+                except Exception:  # pragma: no cover - warmup must not crash
+                    pass
+                if progress_cb is not None:
+                    progress_cb(i + 1, len(work))
+
+        th = threading.Thread(target=run, daemon=True, name="engine-warmup")
+        th.start()
+        return th
 
     def warmup(self, shapes: Optional[List[Tuple[int, int, int]]] = None):
         """Pre-compile common (batch, text, mel) bucket shapes by running

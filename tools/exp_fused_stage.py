@@ -109,15 +109,24 @@ def main():
         xp = x.reshape(args.batch, t // s, s * c)
 
         row = {"stage": name, "T": t, "C": c, "s": s}
+        print(f"# {name}: timing stock...", file=sys.stderr, flush=True)
         row["stock_ms"] = round(timed(
             lambda v: mrf_stage_reference(v, weights, KERNELS, DILS), x), 2)
+        print(f"# {name}: stock={row['stock_ms']}ms; timing s2d...",
+              file=sys.stderr, flush=True)
         if s > 1:
             row["s2d_ms"] = round(timed(
                 lambda v: s2d_mrf(v, weights, s), xp), 2)
+            print(f"# {name}: s2d={row['s2d_ms']}ms", file=sys.stderr,
+                  flush=True)
         for br in args.blocks:
+            print(f"# {name}: timing fused block={br}...", file=sys.stderr,
+                  flush=True)
             row[f"fused{br}_ms"] = round(timed(
                 lambda v, _br=br: fused_mrf_stage(
                     v, weights, s, KERNELS, DILS, block_rows=_br), xp), 2)
+            print(f"# {name}: fused{br}={row[f'fused{br}_ms']}ms",
+                  file=sys.stderr, flush=True)
         print(json.dumps(row), flush=True)
 
 
