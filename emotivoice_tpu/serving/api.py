@@ -66,6 +66,18 @@ class TTSService:
         self.metrics = ServiceMetrics()
         self._log = logging.getLogger("emotivoice_tpu.serving")
 
+    def close(self):
+        """Stop the micro-batcher worker thread (idempotent)."""
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def _build_requests(self, input_text, voice, prompt, speed):
         if voice not in self.speaker2id:
             raise KeyError(f"unknown voice {voice!r}")
@@ -255,7 +267,7 @@ def create_fastapi_app(service: TTSService):  # pragma: no cover - needs fastapi
 
     @app.get("/v1/metrics")
     def metrics():
-        return service.metrics.snapshot(service._batcher)
+        return service.metrics.snapshot(service._batcher, service.engine)
 
     @app.post("/v1/audio/speech")
     def speech(req: SpeechRequest):
@@ -369,7 +381,7 @@ def serve_stdlib(service: TTSService, host: str = "0.0.0.0", port: int = 8000):
                 self._reply(body, "application/json")
             elif path == "/v1/metrics":
                 body = json.dumps(
-                    service.metrics.snapshot(service._batcher)
+                    service.metrics.snapshot(service._batcher, service.engine)
                 ).encode()
                 self._reply(body, "application/json")
             else:

@@ -52,7 +52,9 @@ class MicroBatcher:
         )
         self._dispatches = 0  # batches sent to the device (for tests/metrics)
         self._requests = 0
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker = threading.Thread(
+            target=self._run, daemon=True, name="microbatcher-worker"
+        )
         self._worker.start()
 
     def submit(self, request: SynthesisRequest) -> SynthesisResult:

@@ -51,7 +51,7 @@ class ServiceMetrics:
         i = min(len(s) - 1, int(q * (len(s) - 1) + 0.5))
         return s[i]
 
-    def snapshot(self, batcher=None) -> Dict:
+    def snapshot(self, batcher=None, engine=None) -> Dict:
         with self._lock:
             lat, rtf = list(self._lat_s), list(self._rtf)
             out = {
@@ -80,5 +80,13 @@ class ServiceMetrics:
                     if batcher._dispatches
                     else None
                 ),
+            }
+        if engine is not None:
+            # Duration-overflow accounting (engine.synthesize_batch):
+            # redispatches = rows escalated to a larger mel bucket;
+            # truncations = rows that saturated the largest bucket (audio cut).
+            out["duration_overflow"] = {
+                "redispatches": engine.saturation_redispatches,
+                "truncations": engine.saturation_truncations,
             }
         return out
