@@ -162,6 +162,14 @@ def train(
 
                 if step % log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    # current LR (per-epoch exponential decay, reference
+                    # ExponentialLR gamma=0.999875) so epoch-boundary decay
+                    # is visible in the run evidence
+                    metrics["lr"] = cfg.train.lr * (
+                        cfg.train.lr_gamma_per_epoch
+                        ** (step // steps_per_epoch)
+                    )
+                    metrics["epoch"] = step // steps_per_epoch
                     metrics["steps_per_sec"] = log_every / max(
                         time.time() - t_start - t_paused, 1e-6
                     )

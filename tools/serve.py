@@ -31,6 +31,9 @@ def main():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip bucket pre-compilation at startup")
+    p.add_argument("--no-background-warmup", action="store_true",
+                   help="skip warming the remaining bucket grid in a "
+                        "background thread after startup")
     p.add_argument("--no-batching", action="store_true",
                    help="disable cross-request micro-batching")
     p.add_argument("--data-parallel", type=int, default=0,
@@ -134,6 +137,14 @@ def main():
               "fresh process can take minutes)...")
         engine.warmup()
         print("warmup done")
+    if not args.no_background_warmup:
+        # Warm the rest of the production bucket grid while serving; with
+        # the persistent compile cache (on by default) this is a one-time
+        # cost across server restarts.
+        engine.warmup_background(
+            progress_cb=lambda i, n: print(f"background warmup {i}/{n}")
+            if i == n or i % 10 == 0 else None
+        )
     service = TTSService(
         engine,
         g2p_fn=lambda text: g2p_cn_en(text, lexicon),
