@@ -22,9 +22,15 @@ def main():
 
     cfg = EmotiVoiceConfig()
     # bfloat16 compute (params f32, f32 accumulation, f32 waveform out):
-    # +22% over f32 on v5e; XLA's stock conv lowering beats the Pallas MRF
-    # kernel at these shapes (tools/bench_matrix.py), so Pallas stays off.
-    model = JETSGenerator(cfg, compute_dtype=jnp.bfloat16)
+    # +22% over f32 on v5e; XLA's stock conv lowering beats the per-unit
+    # Pallas MRF kernel at these shapes (tools/bench_matrix.py), so that
+    # stays off — but the whole-stage fused Pallas kernel
+    # (ops/pallas/packed_stage.py) wins on TPU (2051 -> 2274 xRT, r4) and
+    # is the inference default there, matching SynthesisEngine.
+    use_fused = jax.default_backend() == "tpu"
+    model = JETSGenerator(
+        cfg, compute_dtype=jnp.bfloat16, use_fused_stage=use_fused
+    )
 
     # Production-ish bucket: batch 16 utterances, 384 mel frames each
     # (~6.1 s of audio per utterance at 16 kHz / hop 256); throughput

@@ -93,6 +93,16 @@ class WNConv1d(nn.Module):
         """Effective kernel in lax HIO layout (K, Ci/g, Co)."""
         return jnp.transpose(self.folded(), (2, 1, 0))
 
+    def packed(self, xp: jnp.ndarray, s: int) -> jnp.ndarray:
+        """Packed-in/packed-out stride-1 same-pad call: (B, T/s, s*Ci) ->
+        (B, T/s, s*Co) without leaving the space-to-depth layout."""
+        from emotivoice_tpu.ops.s2d_conv import s2d_conv_packed
+
+        y = s2d_conv_packed(
+            xp, self.folded_hio(), dilation=self.dilation, s=s
+        )
+        return y + jnp.tile(self.b, s).astype(xp.dtype)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         pad = self.padding
@@ -126,7 +136,9 @@ class WNConvTranspose1d(nn.Module):
     init_std: float = 0.01
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, s_in: int = 1, s_out: int = 1
+    ) -> jnp.ndarray:
         k, ci, co = self.kernel_size, self.in_features, self.features
         v = self.param("v", _normal_init(self.init_std), (ci, co, k))
         if self.use_weight_norm:
@@ -137,6 +149,13 @@ class WNConvTranspose1d(nn.Module):
         else:
             w = v
         b = self.param("b", nn.initializers.zeros, (co,))
+        if s_in > 1 or s_out > 1:
+            # Space-to-depth lowering: packed-in/packed-out, lands in the
+            # next MRF stage's layout with zero relayouts (s2d_conv.py).
+            from emotivoice_tpu.ops.s2d_conv import tconv_packed
+
+            y = tconv_packed(x, w, self.stride, self.padding, s_in, s_out)
+            return y + jnp.tile(b, s_out).astype(x.dtype)
         # Two equivalent lowerings, picked per shape (measured on v5e, see
         # tools/exp_tconv_matmul.py): the wide first upsample stage
         # (Ci*stride >= 4096) runs 1.3x faster as a dense matmul +
@@ -442,23 +461,42 @@ class HiFiGANGenerator(nn.Module):
         if stages == 0:
             return x
         in_ch = c.upsample_initial_channel
+        # pack_cur: space-to-depth factor of x's CURRENT layout (1 =
+        # unpacked). Packed layout is carried ACROSS stages: the transposed
+        # conv lowers packed-in/packed-out (ops/s2d_conv.py:tconv_packed)
+        # whenever the stride ratio allows, so consecutive small-channel
+        # stages chain without any unpack->repack relayout between them,
+        # and conv_post consumes the packed layout directly.
+        pack_cur = 1
+        t_global = mel.shape[1]  # unpacked time length of x
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             out_ch = c.upsample_initial_channel // (2 ** (i + 1))
-            x = nn.leaky_relu(x, c.lrelu_slope)
-            x = WNConvTranspose1d(
-                in_ch, out_ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}"
-            )(x)
-            # Small-channel stages run their whole MRF in space-to-depth
-            # packed layout: one relayout in, one out (_stage_pack_factor).
-            pack = (
-                _stage_pack_factor(out_ch, x.shape[1])
-                if self.use_s2d and not self.use_pallas
+            t_out = t_global * u
+            s2d_on = (
+                self.use_s2d and not self.use_pallas
                 and resblock_cls is ResBlock1
-                else 0
             )
-            if pack > 1:
-                b_, t_ = x.shape[0], x.shape[1]
-                x = x.reshape(b_, t_ // pack, pack * out_ch)
+            pack = _stage_pack_factor(out_ch, t_out) if s2d_on else 0
+            pack = pack or 1
+            x = nn.leaky_relu(x, c.lrelu_slope)
+            tconv = WNConvTranspose1d(
+                in_ch, out_ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}"
+            )
+            if (pack > 1 or pack_cur > 1) and pack % (u * pack_cur) == 0:
+                # Fold the stage-entry relayout into the tconv: emit the
+                # upsampled activation directly in the target packed layout.
+                x = tconv(x, s_in=pack_cur, s_out=pack)
+            else:
+                if pack_cur > 1:  # unpack (relayout) — ratio doesn't fold
+                    b_ = x.shape[0]
+                    x = x.reshape(b_, t_global, in_ch)
+                x = tconv(x)
+                if pack > 1:
+                    b_ = x.shape[0]
+                    x = x.reshape(b_, t_out // pack, pack * out_ch)
+            pack_cur = pack
+            t_global = t_out
+            b_, t_ = x.shape[0], t_out // pack if pack > 1 else t_out
             if pack > 1 and self.use_fused_stage:
                 from emotivoice_tpu.ops.pallas.packed_stage import (
                     fused_mrf_stage,
@@ -496,17 +534,26 @@ class HiFiGANGenerator(nn.Module):
                     )(x)
                     acc = r if acc is None else acc + r
                 x = acc / num_kernels
-            if pack > 1:
-                x = x.reshape(b_, t_, out_ch)
             in_ch = out_ch
             if stages is not None and i + 1 >= stages:
-                return x
+                # Profiling path returns the unpacked activation so stage
+                # deltas stay comparable across lowerings.
+                return x.reshape(b_, t_out, out_ch) if pack > 1 else x
         # NOTE: reference uses default slope 0.01 for the final activation
         # (models.py:133 F.leaky_relu without slope arg).
         x = nn.leaky_relu(x, 0.01)
-        x = WNConv1d(in_ch, 1, 7, padding=3, name="conv_post")(x)
+        conv_post = WNConv1d(in_ch, 1, 7, padding=3, name="conv_post")
+        if pack_cur > 1:
+            # conv_post consumes the packed stage-4 layout directly
+            # ((B,T/s,s*C) -> (B,T/s,s)); the stage-exit relayout of the
+            # ~100 MB activation never happens — only the tiny 1-channel
+            # output gets reshaped back to time-major.
+            y = conv_post.packed(x, pack_cur)
+            y = y.reshape(y.shape[0], t_global, 1)
+        else:
+            y = conv_post(x)
         # Waveform always leaves in f32 (host int16 conversion downstream).
-        return jnp.tanh(x.astype(jnp.float32))[..., 0]
+        return jnp.tanh(y.astype(jnp.float32))[..., 0]
 
 
 class DiscriminatorP(nn.Module):

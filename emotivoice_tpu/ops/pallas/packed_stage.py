@@ -57,8 +57,20 @@ LRELU_SLOPE = 0.1
 # Static planning (host-side, pure Python)
 # ---------------------------------------------------------------------------
 
-def _conv_plan(k: int, d: int, s: int) -> dict:
+def _conv_plan(k: int, d: int, s: int, aligned: bool = False) -> dict:
     """Chunk plan for one conv (kernel k, dilation d, pack factor s).
+
+    aligned=False: FLOP-minimal chunking — each contiguous offset run is
+    chopped greedily; a non-multiple tail becomes one chunk overlapping
+    backwards, whose base is misaligned (m != 0) and costs a lane-mask
+    select against a sublane-rolled copy of the tile in the kernel.
+
+    aligned=True: every chunk base is a multiple of s (m == 0 for all
+    chunks) — slots with no live offset just carry zero weight rows. A few
+    more chunk matmuls, but the kernel needs NO rotate and NO per-chunk
+    select: every gather is a static sublane slice feeding the MXU
+    directly. On v5e the kernel is VPU-bound, so trading dead MXU rows for
+    the rotate/select elementwise traffic wins (tools/exp_fused_stage.py).
 
     Returns dict with:
       chunks: list of (q, m) — chunk base offset o = q*s + m
@@ -69,26 +81,28 @@ def _conv_plan(k: int, d: int, s: int) -> dict:
     c = (k - 1) // 2
     taps = [(i, (i - c) * d) for i in range(k)]
     offsets = sorted({e + j for _, e in taps for j in range(s)})
-    # maximal contiguous runs (each run has length >= s: every tap spans s
-    # consecutive offsets)
-    runs = []
-    run = [offsets[0]]
-    for o in offsets[1:]:
-        if o == run[-1] + 1:
-            run.append(o)
-        else:
-            runs.append(run)
-            run = [o]
-    runs.append(run)
-    # chop each run into chunks of s consecutive offsets; a non-multiple
-    # tail becomes one extra chunk overlapping backwards (duplicated
-    # offsets carry weight in only one chunk — see `place`)
-    bases = []
-    for run in runs:
-        for t in range(len(run) // s):
-            bases.append(run[0] + t * s)
-        if len(run) % s:
-            bases.append(run[-1] - s + 1)
+    if aligned:
+        live = set(offsets)
+        bases = sorted({(o // s) * s for o in offsets})
+        bases = [b for b in bases if any(b + t in live for t in range(s))]
+    else:
+        # maximal contiguous runs (each run has length >= s: every tap
+        # spans s consecutive offsets)
+        runs = []
+        run = [offsets[0]]
+        for o in offsets[1:]:
+            if o == run[-1] + 1:
+                run.append(o)
+            else:
+                runs.append(run)
+                run = [o]
+        runs.append(run)
+        bases = []
+        for run in runs:
+            for t in range(len(run) // s):
+                bases.append(run[0] + t * s)
+            if len(run) % s:
+                bases.append(run[-1] - s + 1)
     place = {}
     for ci, base in enumerate(bases):
         for t in range(s):
@@ -108,11 +122,15 @@ def build_stage_plan(
     s: int,
     kernel_sizes: Sequence[int],
     dilation_sizes: Sequence[Sequence[int]],
+    aligned: bool = False,
 ) -> dict:
     """Full-stage plan: per resblock, per residual unit, (conv1, conv2)."""
     blocks = []
     for k, dils in zip(kernel_sizes, dilation_sizes):
-        units = [(_conv_plan(k, d, s), _conv_plan(k, 1, s)) for d in dils]
+        units = [
+            (_conv_plan(k, d, s, aligned), _conv_plan(k, 1, s, aligned))
+            for d in dils
+        ]
         blocks.append(units)
     halos = []
     for units in blocks:
@@ -133,14 +151,15 @@ def build_stage_plan(
     }
 
 
-def _plan_key(s, kernel_sizes, dilation_sizes):
-    return (s, tuple(kernel_sizes), tuple(tuple(d) for d in dilation_sizes))
+def _plan_key(s, kernel_sizes, dilation_sizes, aligned=False):
+    return (s, tuple(kernel_sizes), tuple(tuple(d) for d in dilation_sizes),
+            aligned)
 
 
 @functools.lru_cache(maxsize=32)
 def _cached_plan(key):
-    s, ks, ds = key
-    return build_stage_plan(s, ks, ds)
+    s, ks, ds, aligned = key
+    return build_stage_plan(s, ks, ds, aligned)
 
 
 # ---------------------------------------------------------------------------
@@ -197,16 +216,21 @@ def _mrf_stage_kernel(
     x0 = x_ref[:]
     dtype = x0.dtype
     n_lanes = s * c
+    # Zero-pad conv semantics: rows outside the real array enter every conv
+    # as zeros (haloed tiles cross the array edges; intermediates carry
+    # bias-polluted values there). The row-validity mask is computed ONCE
+    # for the full haloed tile; each conv input slices it — one select per
+    # conv instead of an iota+compare+and chain.
+    rows = ti * block - halo_l + jax.lax.broadcasted_iota(
+        jnp.int32, (x0.shape[0], 1), 0
+    )
+    valid_full = (rows >= 0) & (rows < tp_real)
 
     def masked_lrelu(v, off, ext):
-        # zero-pad conv semantics: rows outside the real array enter every
-        # conv as zeros (haloed tiles cross the array edges; intermediates
-        # carry bias-polluted values there)
-        g0 = ti * block + off - halo_l
-        rows = g0 + jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
-        valid = (rows >= 0) & (rows < tp_real)
         a = jnp.maximum(v, v * LRELU_SLOPE)
-        return jnp.where(valid, a, jnp.zeros_like(a))
+        return jnp.where(
+            valid_full[off : off + ext], a, jnp.zeros_like(a)
+        )
 
     def conv(a, off, ext, cp, wi, bi):
         ext_out = ext - cp["A"] - cp["B"]
@@ -263,7 +287,7 @@ def _mrf_stage_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("s", "kernel_sizes", "dilation_sizes", "block_rows",
-                     "interpret"),
+                     "interpret", "aligned"),
 )
 def fused_mrf_stage(
     xp: jnp.ndarray,  # (B, Tp, s*C) space-to-depth packed stage activation
@@ -273,10 +297,11 @@ def fused_mrf_stage(
     dilation_sizes: Tuple[Tuple[int, ...], ...],
     block_rows: int = 512,
     interpret: bool = False,
+    aligned: bool = False,
 ) -> jnp.ndarray:
     b, tp, n_lanes = xp.shape
     c = n_lanes // s
-    plan = _cached_plan(_plan_key(s, kernel_sizes, dilation_sizes))
+    plan = _cached_plan(_plan_key(s, kernel_sizes, dilation_sizes, aligned))
     halo_l, halo_r = plan["halo_l"], plan["halo_r"]
 
     block = min(block_rows, max(8, tp))

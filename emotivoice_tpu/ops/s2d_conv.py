@@ -78,3 +78,69 @@ def s2d_conv_packed(
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=jnp.float32,
     ).astype(xp.dtype)
+
+
+def pack_tconv_weight(
+    w_iok: jnp.ndarray, stride: int, padding: int, s_in: int, s_out: int
+) -> tuple[jnp.ndarray, int, int, int]:
+    """Torch-layout transposed-conv kernel (Ci, Co, K) -> packed
+    (K', s_in*Ci, s_out*Co) stride-rho dense kernel.
+
+    A ConvTranspose1d writes out[n] += x[t] @ w[:, :, i] for every
+    n = stride*t + i - padding. With the input in space-to-depth layout
+    (B, T/s_in, s_in*Ci) and the output wanted in (B, T*stride/s_out,
+    s_out*Co), output slot j of packed row r is global n = r*s_out + j and
+    draws from input global t = (n + padding - i)/stride (when divisible),
+    i.e. packed input row rho*r + q, slot m, with
+    e = (j + padding - i)/stride, q = floor(e/s_in), m = e mod s_in and
+    rho = s_out/(stride*s_in). For integer rho this is a plain stride-rho
+    conv over packed rows — the transposed conv lands DIRECTLY in the next
+    stage's packed layout, eliminating the unpack->tconv->repack relayout
+    pair entirely (the (B,T,C<128)<->(B,T/s,s*C) reshapes are tiled-layout
+    copies of ~100 MB-class activations at production shapes).
+
+    Returns (packed kernel, pad_left, pad_right, rho); requires
+    s_out % (stride * s_in) == 0.
+    """
+    ci, co, kk = w_iok.shape
+    assert s_out % (stride * s_in) == 0, (s_out, stride, s_in)
+    rho = s_out // (stride * s_in)
+    taps = []  # (q, m, j, i)
+    for j in range(s_out):
+        for i in range(kk):
+            num = j + padding - i
+            if num % stride != 0:
+                continue
+            e = num // stride
+            q = e // s_in
+            m = e - q * s_in
+            taps.append((q, m, j, i))
+    q_min = min(t[0] for t in taps)
+    q_max = max(t[0] for t in taps)
+    kp = q_max - q_min + 1
+    wp = jnp.zeros((kp, s_in * ci, s_out * co), w_iok.dtype)
+    for q, m, j, i in taps:
+        wp = wp.at[
+            q - q_min, m * ci : (m + 1) * ci, j * co : (j + 1) * co
+        ].add(w_iok[:, :, i])
+    return wp, -q_min, q_max, rho
+
+
+def tconv_packed(
+    xp: jnp.ndarray,      # (B, T/s_in, s_in*Ci) packed activation
+    w_iok: jnp.ndarray,   # (Ci, Co, K) torch-layout tconv kernel
+    stride: int,
+    padding: int,
+    s_in: int,
+    s_out: int,
+) -> jnp.ndarray:
+    """Packed-in/packed-out transposed conv; returns (B, T*stride/s_out,
+    s_out*Co). Exact vs the stock lowering (zero rows in packed space are
+    zero samples, so edge handling matches ConvTranspose1d's output crop
+    for out_len == T*stride, i.e. padding == (K - stride)//2)."""
+    wp, pl, pr, rho = pack_tconv_weight(w_iok, stride, padding, s_in, s_out)
+    return jax.lax.conv_general_dilated(
+        xp, wp.astype(xp.dtype), (rho,), [(pl, pr)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xp.dtype)

@@ -120,13 +120,16 @@ def main():
             print(f"# {name}: s2d={row['s2d_ms']}ms", file=sys.stderr,
                   flush=True)
         for br in args.blocks:
-            print(f"# {name}: timing fused block={br}...", file=sys.stderr,
-                  flush=True)
-            row[f"fused{br}_ms"] = round(timed(
-                lambda v, _br=br: fused_mrf_stage(
-                    v, weights, s, KERNELS, DILS, block_rows=_br), xp), 2)
-            print(f"# {name}: fused{br}={row[f'fused{br}_ms']}ms",
-                  file=sys.stderr, flush=True)
+            for al in (False, True):
+                tag = f"fused{br}" + ("a" if al else "")
+                print(f"# {name}: timing {tag}...", file=sys.stderr,
+                      flush=True)
+                row[f"{tag}_ms"] = round(timed(
+                    lambda v, _br=br, _al=al: fused_mrf_stage(
+                        v, weights, s, KERNELS, DILS, block_rows=_br,
+                        aligned=_al), xp), 2)
+                print(f"# {name}: {tag}={row[f'{tag}_ms']}ms",
+                      file=sys.stderr, flush=True)
         print(json.dumps(row), flush=True)
 
 

@@ -26,6 +26,8 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     p.add_argument("--s2d", choices=["on", "off"], default="on")
+    p.add_argument("--fused", choices=["on", "off"], default="off",
+                   help="whole-stage fused Pallas MRF kernel (TPU only)")
     args = p.parse_args()
 
     import jax
@@ -39,7 +41,10 @@ def main():
 
     cfg = EmotiVoiceConfig()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
-    gen = HiFiGANGenerator(cfg.vocoder, dtype=dtype, use_s2d=args.s2d == "on")
+    gen = HiFiGANGenerator(
+        cfg.vocoder, dtype=dtype, use_s2d=args.s2d == "on",
+        use_fused_stage=args.fused == "on",
+    )
     rng = np.random.RandomState(0)
     mel = jnp.asarray(
         rng.randn(args.batch, args.frames, cfg.vocoder.initial_channel),
