@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from emotivoice_tpu.config import DiscriminatorConfig, VocoderConfig
-from emotivoice_tpu.ops.s2d_conv import s2d_conv_packed
+from emotivoice_tpu.ops.s2d_conv import _accum_dtype, s2d_conv_packed
 
 LRELU_SLOPE = 0.1
 
@@ -96,7 +96,7 @@ class WNConv1d(nn.Module):
     def packed(self, xp: jnp.ndarray, s: int) -> jnp.ndarray:
         """Packed-in/packed-out stride-1 same-pad call: (B, T/s, s*Ci) ->
         (B, T/s, s*Co) without leaving the space-to-depth layout."""
-        from emotivoice_tpu.ops.s2d_conv import s2d_conv_packed
+        from emotivoice_tpu.ops.s2d_conv import _accum_dtype, s2d_conv_packed
 
         y = s2d_conv_packed(
             xp, self.folded_hio(), dilation=self.dilation, s=s
@@ -118,7 +118,7 @@ class WNConv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_accum_dtype(x.dtype),
         ).astype(x.dtype)
         return y + self.b.astype(x.dtype)
 
@@ -174,7 +174,7 @@ class WNConvTranspose1d(nn.Module):
                 padding=[(pad, pad)],
                 lhs_dilation=(self.stride,),
                 dimension_numbers=("NHC", "HIO", "NHC"),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_accum_dtype(x.dtype),
             ).astype(x.dtype)
         return y + b.astype(x.dtype)
 
@@ -231,13 +231,13 @@ class WNConv2d(nn.Module):
         kernel = jnp.transpose(w, (2, 3, 1, 0))  # (Kh, Kw, Ci, Co)
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(x.dtype),
             window_strides=self.stride,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_accum_dtype(x.dtype),
         ).astype(x.dtype)
-        return y + b
+        return y + b.astype(x.dtype)
 
 
 class SNConv1d(nn.Module):
@@ -290,14 +290,14 @@ class SNConv1d(nn.Module):
         kernel = jnp.transpose(w_sn, (2, 1, 0))
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(x.dtype),
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_accum_dtype(x.dtype),
         ).astype(x.dtype)
-        return y + b
+        return y + b.astype(x.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -656,12 +656,19 @@ class Discriminator(nn.Module):
     """
 
     cfg: DiscriminatorConfig = DiscriminatorConfig()
+    # Compute dtype (e.g. jnp.bfloat16): inputs are cast once at entry and
+    # every conv follows the activation dtype; params stay f32 and the
+    # LSGAN/FM losses accumulate in f32 (losses cast outputs back).
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_stats: bool = False):
         """y, y_hat: (B, T) waveforms. Returns (real_outs, fake_outs,
         real_fmaps, fake_fmaps) across all sub-discriminators."""
         c = self.cfg
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
+            y_hat = y_hat.astype(self.dtype)
         real_outs: List[jnp.ndarray] = []
         fake_outs: List[jnp.ndarray] = []
         real_fmaps: List[List[jnp.ndarray]] = []
@@ -706,7 +713,9 @@ def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(jnp.abs(rl - gl))
+            loss += jnp.mean(
+                jnp.abs(rl.astype(jnp.float32) - gl.astype(jnp.float32))
+            )
     return loss * 2.0
 
 
@@ -714,6 +723,8 @@ def discriminator_loss(real_outs, fake_outs) -> jnp.ndarray:
     """LSGAN D loss (reference models.py:288-300)."""
     loss = 0.0
     for dr, dg in zip(real_outs, fake_outs):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
         loss += jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
     return loss
 
@@ -722,5 +733,5 @@ def generator_loss(fake_outs) -> jnp.ndarray:
     """LSGAN G adversarial loss (reference models.py:303-310)."""
     loss = 0.0
     for dg in fake_outs:
-        loss += jnp.mean((1.0 - dg) ** 2)
+        loss += jnp.mean((1.0 - dg.astype(jnp.float32)) ** 2)
     return loss

@@ -24,6 +24,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _accum_dtype(dt):
+    """Conv accumulation dtype: explicit f32 for f32 inputs; None for
+    narrow dtypes. The TPU MXU accumulates bf16 convs in f32 internally and
+    rounds once at the end either way, so the results are identical — but
+    preferred_element_type=f32 on a bf16 conv breaks the conv's
+    transpose-rhs VJP (f32 cotangent vs bf16 lhs, jax 0.9 conv dtype rule),
+    which bf16 TRAINING hits."""
+    return jnp.float32 if dt == jnp.float32 else None
+
+
 def pack_weight(
     w_hio: jnp.ndarray, dilation: int, s: int
 ) -> tuple[jnp.ndarray, int, int]:
@@ -76,7 +86,7 @@ def s2d_conv_packed(
     return jax.lax.conv_general_dilated(
         xp, wp.astype(xp.dtype), (1,), [(pl, pr)],
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_accum_dtype(xp.dtype),
     ).astype(xp.dtype)
 
 
@@ -142,5 +152,5 @@ def tconv_packed(
     return jax.lax.conv_general_dilated(
         xp, wp.astype(xp.dtype), (rho,), [(pl, pr)],
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_accum_dtype(xp.dtype),
     ).astype(xp.dtype)

@@ -78,9 +78,14 @@ def init_train_state(
     rng: jax.Array,
     example_batch: Dict[str, jnp.ndarray],
     steps_per_epoch: int = 1000,
+    compute_dtype: Optional[Any] = None,
 ) -> Tuple[TrainState, JETSGenerator, Discriminator]:
-    model = JETSGenerator(cfg)
-    disc = Discriminator(cfg.disc)
+    """compute_dtype=jnp.bfloat16 runs generator + discriminator compute in
+    bf16 with f32 master params, f32 conv/matmul accumulation and f32
+    losses (LSGAN needs no loss scaling: activations/outputs are O(1) and
+    grads flow to f32 leaves). Measured on v5e: tools/exp_train_attrib.py."""
+    model = JETSGenerator(cfg, compute_dtype=compute_dtype)
+    disc = Discriminator(cfg.disc, dtype=compute_dtype)
     rng, g_rng, d_rng, seg_rng = jax.random.split(rng, 4)
 
     g_vars = model.init(

