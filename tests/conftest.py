@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 for f in (
     "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
     "--xla_cpu_collective_call_terminate_timeout_seconds=1800",
+    # XLA CPU splits LLVM codegen across a thread pool per compile; with
+    # the hundreds of compiles this suite issues in one process that path
+    # segfaults/aborts nondeterministically on this host (observed inside
+    # backend_compile_and_load at different tests across runs, while any
+    # single file passes in isolation). Serializing codegen removes the
+    # crash at a small compile-time cost.
+    "--xla_cpu_parallel_codegen_split_count=1",
 ):
     if f.split("=")[0] not in flags:
         flags += " " + f
