@@ -432,9 +432,14 @@ class HiFiGANGenerator(nn.Module):
     use_s2d: bool = True  # measured space-to-depth MRF lowering (exact)
     # Whole-stage fused Pallas kernel for the packed stages: all 18 MRF
     # convs + activations + residual/merge in one VMEM-resident pallas_call
-    # (ops/pallas/packed_stage.py). Measured v5e bf16, batch 16 x 384
-    # frames (tools/exp_fused_stage.py): stage3 13.9 -> 10.6 ms vs the s2d
-    # default, stage4 10.5 -> 10.3 ms. Inference-only (no VJP) — training
+    # (ops/pallas/packed_stage.py). ISOLATED whole-MRF timings (v5e bf16,
+    # batch 16 x 384 frames, `tools/exp_fused_stage.py --iters 40`, r5 @
+    # HEAD): stage3 s2d 12.39 -> fused 8.66 ms, stage4 s2d 8.53 -> fused
+    # 8.01 ms (stock XLA: 12.86 / 25.98 ms). These are kernel-only numbers;
+    # the in-model per-stage deltas (which include each stage's tconv and
+    # XLA fusion context) are the `tools/exp_vocoder_stages.py` rows in
+    # docs/PERFORMANCE.md's roofline table — the two harnesses are labeled
+    # there and agree within noise. Inference-only (no VJP) — training
     # keeps the differentiable s2d lowering; SynthesisEngine turns this on
     # automatically on TPU backends.
     use_fused_stage: bool = False

@@ -66,11 +66,17 @@ def _conv_plan(k: int, d: int, s: int, aligned: bool = False) -> dict:
     select against a sublane-rolled copy of the tile in the kernel.
 
     aligned=True: every chunk base is a multiple of s (m == 0 for all
-    chunks) — slots with no live offset just carry zero weight rows. A few
-    more chunk matmuls, but the kernel needs NO rotate and NO per-chunk
-    select: every gather is a static sublane slice feeding the MXU
-    directly. On v5e the kernel is VPU-bound, so trading dead MXU rows for
-    the rotate/select elementwise traffic wins (tools/exp_fused_stage.py).
+    chunks) — slots with no live offset just carry zero weight rows. More
+    chunk matmuls (+40% stage3 / +23% stage4), but the kernel needs NO
+    rotate and NO per-chunk select: every gather is a static sublane slice
+    feeding the MXU directly. Measured and REJECTED as the default
+    (tools/exp_fused_stage.py; docs/PERFORMANCE.md fused-stage table): the
+    kernel is MXU-bound, not VPU-bound, so the extra dead-row matmuls cost
+    more than the rotate/select traffic they remove — aligned LOSES at
+    stage3 (10.25 vs 8.43 ms) and ties at stage4 (7.74 vs 7.82 ms).
+    Greedy FLOP-minimal chunking stays the default; the aligned plan is
+    kept for measurement (and as the fallback shape family where a future
+    topology is elementwise-bound).
 
     Returns dict with:
       chunks: list of (q, m) — chunk base offset o = q*s + m

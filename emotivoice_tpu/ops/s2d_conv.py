@@ -30,7 +30,13 @@ def _accum_dtype(dt):
     rounds once at the end either way, so the results are identical — but
     preferred_element_type=f32 on a bf16 conv breaks the conv's
     transpose-rhs VJP (f32 cotangent vs bf16 lhs, jax 0.9 conv dtype rule),
-    which bf16 TRAINING hits."""
+    which bf16 TRAINING hits. Non-TPU caveat: CPU/GPU backends may
+    genuinely accumulate bf16 convs in bf16 under None, i.e. bf16
+    inference OFF-TPU is lower precision than the pre-r4
+    preferred_element_type=f32 behavior. Not gated on backend because the
+    VJP dtype rule bites on every backend (the CPU-mesh bf16 train test
+    would break), and the repo's bf16 numeric-tolerance tests already
+    bound the error; TPU — the target — is exact either way."""
     return jnp.float32 if dt == jnp.float32 else None
 
 

@@ -36,6 +36,19 @@ def initialize_multihost(
     # NB: must not touch jax.process_count()/jax.devices() before
     # jax.distributed.initialize — any backend probe locks in a
     # single-process runtime and initialize() then raises.
+    import os
+
+    # Explicit COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env vars serve
+    # non-TPU clusters (and the localhost multi-process serving smoke,
+    # tests/test_multihost_serving.py) where jax's cluster auto-detection
+    # has nothing to find; TPU pods ignore them (auto-detected).
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS") or None
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PROCESS_ID"):
+        process_id = int(os.environ["PROCESS_ID"])
+
     already = jax.distributed.is_initialized()
     if not already and (
         coordinator_address is not None or _env_says_multihost()

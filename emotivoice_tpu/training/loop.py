@@ -78,8 +78,10 @@ class MetricLogger:
             self.tb = None
 
     def log(self, step: int, metrics: dict, prefix: str = "train"):
+        # .6g keeps small values significant (lr=1.25e-5 must show its
+        # per-epoch 0.999875 decay, which .5f would round to 0.00001)
         line = f"step={step} " + " ".join(
-            f"{k}={float(v):.5f}" for k, v in sorted(metrics.items())
+            f"{k}={float(v):.6g}" for k, v in sorted(metrics.items())
         )
         with open(self.text_path, "a") as f:
             f.write(line + "\n")

@@ -154,10 +154,17 @@ def make_train_step(
         )
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        rng, seg_rng, drop_rng1, drop_rng2 = jax.random.split(state.rng, 4)
+        rng, seg_rng, drop_rng = jax.random.split(state.rng, 3)
 
         # ---- Generator forward (no grad) for the D step -------------------
-        out_nograd = generator_forward(state.g_params, batch, seg_rng, drop_rng1)
+        # Same (seg_rng, drop_rng) as the G-loss forward below: the reference
+        # runs ONE generator forward and reuses it for both the D and G passes
+        # (train_am_vocoder_joint.py:332-343,377-393). Making the two apply()
+        # calls structurally identical both restores those semantics (D is
+        # updated against the same dropout sample of the fake waveform that
+        # G's adversarial loss uses) and lets XLA CSE merge the duplicate
+        # forward (verified: see docs/PERFORMANCE.md training section).
+        out_nograd = generator_forward(state.g_params, batch, seg_rng, drop_rng)
         y_hat = jax.lax.stop_gradient(out_nograd["wav_predictions"])
         y = get_segments(
             batch["wav"], out_nograd["z_start_idxs"] * up, t.segment_size * up
@@ -182,7 +189,7 @@ def make_train_step(
 
         # ---- G step (uses the *updated* D, reference lines 392-418) -------
         def g_loss_fn(g_params):
-            out = generator_forward(g_params, batch, seg_rng, drop_rng2)
+            out = generator_forward(g_params, batch, seg_rng, drop_rng)
             y_hat_g = out["wav_predictions"]
             y_hat_mel = seg_mel(y_hat_g)
             y_mel = seg_mel(y)

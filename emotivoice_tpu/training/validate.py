@@ -94,14 +94,30 @@ def make_validate_fn(
         if n == 0:
             return
         logger.log(step, {k: v / n for k, v in agg.items()}, prefix="valid")
-        if sample is not None and logger.tb is not None:
+        if sample is not None:
             gt, pred, wav = sample
-            logger.tb.add_figure(
-                "valid/mel_comparison", plot_mel_comparison(gt, pred), step
+            # on-disk audio artifact (reference writes audio only to
+            # tensorboard, train_am_vocoder_joint.py:183; a plain wav file
+            # makes run evidence audible without tensorboard)
+            import os
+
+            from emotivoice_tpu.utils.audio_io import write_wav
+
+            write_wav(
+                os.path.join(
+                    os.path.dirname(logger.text_path),
+                    f"valid_audio_{step:08d}.wav",
+                ),
+                np.clip(np.asarray(wav, np.float32), -1.0, 1.0),
+                cfg.audio.sampling_rate,
             )
-            logger.tb.add_audio(
-                "valid/audio_predicted", wav[None, :], step,
-                sample_rate=cfg.audio.sampling_rate,
-            )
+            if logger.tb is not None:
+                logger.tb.add_figure(
+                    "valid/mel_comparison", plot_mel_comparison(gt, pred), step
+                )
+                logger.tb.add_audio(
+                    "valid/audio_predicted", wav[None, :], step,
+                    sample_rate=cfg.audio.sampling_rate,
+                )
 
     return validate

@@ -438,12 +438,23 @@ class TestWarmup:
         )
         e.warmup(shapes=[(b, 8, m) for b in (1, 2) for m in (64, 128)])
         done = []
+        # record the shapes the daemon itself walks (the pre-warm above
+        # makes its compiles cache hits, so cache-size assertions alone
+        # can't detect a daemon that silently skips buckets — ADVICE r4)
+        warmed = []
+        orig_warm = e._warm_one
+        e._warm_one = lambda b, t, m: (warmed.append((b, t, m)),
+                                       orig_warm(b, t, m))[1]
         th = e.warmup_background(
             batches=(1, 2), progress_cb=lambda i, n: done.append((i, n))
         )
         th.join(timeout=600)
         assert not th.is_alive()
-        # (8 -> mel 64 + overflow-redispatch 128) x batches {1, 2}
+        # (8 -> mel 64 + overflow-redispatch 128) x batches {1, 2}: the
+        # daemon must cover the FULL grid, not just report progress
+        assert set(warmed) == {
+            (b, 8, m) for b in (1, 2) for m in (64, 128)
+        }
         assert e._compiled.cache_info().currsize >= 2
         assert done and done[-1][0] == done[-1][1]
         # every grid shape now hits the compile cache

@@ -80,8 +80,21 @@ class TestFusedMRFStage:
                         (i, j) for i in range(k) for j in range(s)
                     ), (k, d, s)
 
-    @pytest.mark.parametrize("c,s", [(32, 4), (64, 2), (128, 1)])
-    def test_matches_stock_lowering(self, c, s):
+    @pytest.mark.parametrize(
+        "c,s,aligned",
+        [
+            (32, 4, False),
+            (64, 2, False),
+            (128, 1, False),
+            # aligned=True is the measurement variant behind the
+            # MXU-vs-VPU-bound conclusion in docs/PERFORMANCE.md (rejected
+            # as default on timing, but its timings must come from a
+            # correct kernel — ADVICE r4)
+            (32, 4, True),
+            (64, 2, True),
+        ],
+    )
+    def test_matches_stock_lowering(self, c, s, aligned):
         """Full V1 MRF topology (k 3/7/11, d (1,3,5)) on a T that is not a
         multiple of the tile: exercises halos, edge masking, tail crop."""
         kernel_sizes = (3, 7, 11)
@@ -95,7 +108,7 @@ class TestFusedMRFStage:
         xp = x.reshape(b, t // s, s * c)
         got = fused_mrf_stage(
             xp, weights, s, kernel_sizes, dilation_sizes,
-            block_rows=256, interpret=_interpret(),
+            block_rows=256, interpret=_interpret(), aligned=aligned,
         ).reshape(b, t, c)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-4,

@@ -42,7 +42,17 @@ PHONES = {
     "sp": ("sil", None),
 }
 TOKENS = ["_", "<sos/eos>"] + sorted(PHONES)
-SPEAKER_F0 = {0: 120.0, 1: 170.0, 2: 230.0, 3: 300.0}
+
+
+def speaker_f0_table(n: int) -> dict:
+    """n speakers with base F0 spread log-uniformly over 110..310 Hz (the
+    4-speaker default keeps the original r2 smoke-corpus voices)."""
+    if n <= 4:
+        return dict(list({0: 120.0, 1: 170.0, 2: 230.0, 3: 300.0}.items())[:n])
+    lo, hi = 110.0, 310.0
+    return {
+        i: float(lo * (hi / lo) ** (i / (n - 1))) for i in range(n)
+    }
 
 
 def _resonator(x, fc, bw):
@@ -97,9 +107,11 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--n-train", type=int, default=64)
     p.add_argument("--n-valid", type=int, default=8)
+    p.add_argument("--n-speakers", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
+    speaker_f0 = speaker_f0_table(args.n_speakers)
     rng = np.random.RandomState(args.seed)
     wav_dir = os.path.join(args.out, "wav")
     os.makedirs(wav_dir, exist_ok=True)
@@ -107,7 +119,7 @@ def main():
     with open(os.path.join(args.out, "tokenlist"), "w") as f:
         f.write("\n".join(TOKENS) + "\n")
     with open(os.path.join(args.out, "speakers"), "w") as f:
-        f.write("\n".join(str(s) for s in sorted(SPEAKER_F0)) + "\n")
+        f.write("\n".join(str(s) for s in sorted(speaker_f0)) + "\n")
 
     phones_pool = [p_ for p_ in PHONES if p_ != "sp"]
     records = []
@@ -118,8 +130,8 @@ def main():
             phones.append(phones_pool[rng.randint(len(phones_pool))])
             if j and rng.rand() < 0.15:
                 phones.append("sp")
-        speaker = int(rng.randint(len(SPEAKER_F0)))
-        wav = synth_utterance(phones, SPEAKER_F0[speaker], rng)
+        speaker = int(rng.randint(len(speaker_f0)))
+        wav = synth_utterance(phones, speaker_f0[speaker], rng)
         key = f"syn{i:04d}"
         path = os.path.join(wav_dir, key + ".wav")
         write_wav(path, wav, SR)
@@ -143,7 +155,7 @@ def main():
     dump(os.path.join(args.out, "valid.jsonl"), records[args.n_train:])
     print(
         f"wrote {args.n_train}+{args.n_valid} utterances, "
-        f"{len(TOKENS)} tokens, {len(SPEAKER_F0)} speakers -> {args.out}"
+        f"{len(TOKENS)} tokens, {len(speaker_f0)} speakers -> {args.out}"
     )
 
 

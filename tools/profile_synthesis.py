@@ -30,6 +30,10 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--text-len", type=int, default=96)
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="compute dtype (bf16 = the TPU serving default)")
+    p.add_argument("--fused", choices=["on", "off"], default="off",
+                   help="fused Pallas MRF stages (the TPU serving default)")
     args = p.parse_args()
 
     import jax
@@ -42,7 +46,9 @@ def main():
 
     cfg = EmotiVoiceConfig()
     dev = jax.devices()[0]
-    print(f"device: {dev}")
+    compute = jnp.bfloat16 if args.dtype == "bf16" else None
+    fused = args.fused == "on"
+    print(f"device: {dev} dtype={args.dtype} fused={args.fused}")
 
     b, t_text, max_frames = args.batch, args.text_len, args.frames
     rng = np.random.RandomState(0)
@@ -53,16 +59,18 @@ def main():
     content = jnp.asarray(rng.randn(b, cfg.am.bert_embedding), jnp.float32)
     mel = jnp.asarray(rng.randn(b, max_frames, cfg.am.n_mels), jnp.float32)
 
-    model = JETSGenerator(cfg)
+    model = JETSGenerator(
+        cfg, compute_dtype=compute, use_fused_stage=fused
+    )
     params = model.init(
         jax.random.PRNGKey(0), tokens, text_lengths, speaker, style, content,
         max_frames=max_frames,
     )
 
     # stage jits: AM alone, vocoder alone, full path
-    am = PromptTTS(cfg.am)
+    am = PromptTTS(cfg.am, dtype=compute)
     am_params = {"params": params["params"]["am"]}
-    voc = HiFiGANGenerator(cfg.vocoder)
+    voc = HiFiGANGenerator(cfg.vocoder, dtype=compute, use_fused_stage=fused)
     voc_params = {"params": params["params"]["generator"]}
 
     @jax.jit

@@ -47,9 +47,19 @@ def main():
     p.add_argument("--jax-cache", default="",
                    help="persistent XLA compile-cache dir (default "
                         "~/.cache/emotivoice_tpu/jax; 'off' disables)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu'); needed because "
+                        "JAX_PLATFORMS is not honored when a TPU plugin is "
+                        "present (see tests/conftest.py)")
+    p.add_argument("--smoke-tiny", action="store_true",
+                   help="tiny_test_config model (random init) — for the "
+                        "multi-process serving smoke test / CI only")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     if args.jax_cache != "off":
         from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
@@ -70,7 +80,12 @@ def main():
     from emotivoice_tpu.serving.api import TTSService, serve_stdlib
     from emotivoice_tpu.serving.engine import SynthesisEngine
 
-    cfg = EmotiVoiceConfig()
+    if args.smoke_tiny:
+        from emotivoice_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+    else:
+        cfg = EmotiVoiceConfig()
     vocab = (
         TokenVocab.from_file(args.tokenlist) if args.tokenlist else TokenVocab.default()
     )
