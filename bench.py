@@ -22,12 +22,18 @@ def main():
 
     cfg = EmotiVoiceConfig()
     # bfloat16 compute (params f32, f32 accumulation, f32 waveform out):
-    # +22% over f32 on v5e; XLA's stock conv lowering beats the per-unit
-    # Pallas MRF kernel at these shapes (tools/bench_matrix.py), so that
-    # stays off — but the whole-stage fused Pallas kernel
-    # (ops/pallas/packed_stage.py) wins on TPU (2051 -> 2274 xRT, r4) and
-    # is the inference default there, matching SynthesisEngine.
-    use_fused = jax.default_backend() == "tpu"
+    # +22% over f32 on v5e. Lowering history: the whole-stage fused Pallas
+    # kernel was the r4 default (2051 -> 2274 xRT over plain s2d then), but
+    # with the r4 relayout-free packed flow the pure-s2d lowering overtook
+    # it end-to-end (r5 A/B: s2d 2444/2440 xRT vs fused 2320/2324, two
+    # runs each) — s2d is now the default, matching SynthesisEngine.
+    # BENCH_FUSED=on re-enables the fused kernel for A/B.
+    import os
+
+    use_fused = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("BENCH_FUSED", "auto") == "on"
+    )
     model = JETSGenerator(
         cfg, compute_dtype=jnp.bfloat16, use_fused_stage=use_fused
     )

@@ -24,7 +24,8 @@ class JETSGenerator(nn.Module):
     use_pallas: bool = False  # fused vocoder MRF kernels (TPU only)
     use_s2d: bool = True  # measured space-to-depth MRF conv lowering (exact)
     # Whole-stage fused Pallas MRF kernel (inference-only, no VJP; see
-    # HiFiGANGenerator.use_fused_stage). SynthesisEngine enables it on TPU.
+    # HiFiGANGenerator.use_fused_stage). Off by default everywhere since
+    # the r5 A/B (relayout-free s2d wins end-to-end; docs/PERFORMANCE.md).
     use_fused_stage: bool = False
     fused_interpret: bool = False  # CPU tests only
     # Compute dtype (e.g. jnp.bfloat16 for MXU inference). Params stay f32;

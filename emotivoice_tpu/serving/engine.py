@@ -74,15 +74,17 @@ class SynthesisEngine:
         # doubles MXU throughput at inference; params stay f32 and the
         # waveform always comes back f32 (see models.jets.JETSGenerator).
         compute = None if dtype in (None, jnp.float32) else dtype
-        # Whole-stage fused Pallas MRF kernel: measured win on v5e
-        # (tools/exp_fused_stage.py), inference-only, Mosaic-lowered — auto
-        # on for TPU backends, off elsewhere (no CPU/GPU lowering).
+        # Whole-stage fused Pallas MRF kernel: was the r4 TPU default, but
+        # after the relayout-free packed flow landed the pure-s2d lowering
+        # overtook it END-TO-END (r5 A/B, bench.py x2 runs each: s2d
+        # 2444/2440 xRT vs fused 2320/2324 — the kernel still wins stage3
+        # in isolation, but its haloed-tile materialization and the
+        # pallas_call fusion barrier cost more than it saves once the
+        # packed stages chain relayout-free; docs/PERFORMANCE.md r5
+        # fused-vs-s2d section). Default OFF everywhere; pass
+        # use_fused_stage=True to re-enable on TPU.
         if use_fused_stage is None:
-            # (tensor-parallel vocoders shard channels below 128 lanes —
-            # keep the XLA lowering there)
-            use_fused_stage = jax.default_backend() == "tpu" and (
-                mesh is None or mesh.shape.get(cfg.mesh.model_axis, 1) == 1
-            )
+            use_fused_stage = False
         self.model = JETSGenerator(
             cfg, compute_dtype=compute, use_pallas=use_pallas,
             use_fused_stage=use_fused_stage,
