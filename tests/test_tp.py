@@ -122,11 +122,26 @@ class TestTPEquivalence:
                 float(base_metrics[k]), float(tp_metrics[k]),
                 rtol=2e-3, atol=2e-4, err_msg=k,
             )
-        # Updated params agree leaf-by-leaf (reduction order differs)
-        flat_a = jax.tree_util.tree_leaves(jax.device_get(base_state.g_params))
-        flat_b = jax.tree_util.tree_leaves(jax.device_get(tp_state.g_params))
-        for a, b in zip(flat_a, flat_b):
-            np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
+        # Updated params agree leaf-by-leaf. Tolerance note: the mesh step
+        # reduces gradients in a different order, so a leaf whose true
+        # gradient is fp-cancellation noise (|g| ~ 1e-8) can flip sign
+        # between the two runs; Adam's bias-corrected first step saturates
+        # to lr * g/(|g|+eps) = +/-lr for any such g, so two runs may
+        # legitimately differ by up to 2*lr on noise-gradient leaves
+        # (observed: one 16-wide bias at 2.0018e-5 with lr=1.25e-5).
+        # Real TP math errors show up orders of magnitude above this.
+        atol = 2.5 * cfg.train.lr
+        flat_a, _ = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(base_state.g_params)
+        )
+        flat_b, _ = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(tp_state.g_params)
+        )
+        for (pa, a), (_, b) in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=atol,
+                err_msg=jax.tree_util.keystr(pa),
+            )
 
 
 class TestMultihostHelpers:
