@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
+import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -127,6 +129,14 @@ class SynthesisEngine:
         # bucket still saturated and the audio really was cut.
         self.saturation_redispatches = 0
         self.saturation_truncations = 0
+        # Traffic-priority handshake for warmup_background: a grid replay
+        # (seconds per shape through a remote transport) must never queue
+        # in front of a live request, so the daemon defers while requests
+        # are in flight or arrived very recently (r5 cold-after-cache load
+        # round: p95 21.9 s came from replays stacked ahead of traffic).
+        self._traffic_lock = threading.Lock()
+        self._inflight = 0
+        self._last_traffic = 0.0
 
     # Sized above the full bucket grid (8 text x 9 mel = 72 combos) so an
     # adversarial shape mix cannot thrash compiled executables out of cache.
@@ -150,6 +160,18 @@ class SynthesisEngine:
     ) -> List[SynthesisResult]:
         if not requests:
             return []
+        with self._traffic_lock:
+            self._inflight += 1
+        try:
+            return self._synthesize_batch(requests)
+        finally:
+            with self._traffic_lock:
+                self._inflight -= 1
+                self._last_traffic = time.monotonic()
+
+    def _synthesize_batch(
+        self, requests: List[SynthesisRequest]
+    ) -> List[SynthesisResult]:
         # A batch larger than the biggest bucket runs as several dispatches.
         cap = self.batch_buckets[-1]
         if len(requests) > cap:
@@ -302,6 +324,7 @@ class SynthesisEngine:
 
         def run():
             for i, (b, t, mf) in enumerate(work):
+                self._wait_for_traffic_idle()
                 try:
                     self._warm_one(b, t, mf)
                 except Exception:  # pragma: no cover - warmup must not crash
@@ -312,6 +335,19 @@ class SynthesisEngine:
         th = threading.Thread(target=run, daemon=True, name="engine-warmup")
         th.start()
         return th
+
+    def _wait_for_traffic_idle(self, idle_s: float = 0.25):
+        """Block until no request is in flight and none finished within the
+        last ``idle_s`` seconds — live traffic always outranks a warmup
+        replay (a request that does land on a cold bucket compiles it
+        itself, paying only for its own shape)."""
+        while True:
+            with self._traffic_lock:
+                busy = self._inflight > 0
+                quiet = time.monotonic() - self._last_traffic
+            if not busy and quiet >= idle_s:
+                return
+            time.sleep(0.05)
 
     def warmup(self, shapes: Optional[List[Tuple[int, int, int]]] = None):
         """Pre-compile common (batch, text, mel) bucket shapes by running

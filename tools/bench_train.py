@@ -32,7 +32,15 @@ def main():
     p.add_argument("--text-len", type=int, default=96)
     p.add_argument("--mel-frames", type=int, default=384)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--jax-cache", default="",
+                   help="persistent XLA compile-cache dir (default "
+                        "~/.cache/emotivoice_tpu/jax; 'off' disables)")
     args = p.parse_args()
+
+    if args.jax_cache != "off":
+        from emotivoice_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(args.jax_cache or None)
 
     from emotivoice_tpu.config import EmotiVoiceConfig
     from emotivoice_tpu.training.step import init_train_state, make_train_step

@@ -34,6 +34,10 @@ def main():
     p.add_argument("--no-background-warmup", action="store_true",
                    help="skip warming the remaining bucket grid in a "
                         "background thread after startup")
+    p.add_argument("--blocking-warmup", action="store_true",
+                   help="finish the full bucket-grid warmup BEFORE "
+                        "listening (slower start; guarantees the first "
+                        "request never sees a compile/replay)")
     p.add_argument("--no-batching", action="store_true",
                    help="disable cross-request micro-batching")
     p.add_argument("--data-parallel", type=int, default=0,
@@ -153,13 +157,22 @@ def main():
         engine.warmup()
         print("warmup done")
     if not args.no_background_warmup:
-        # Warm the rest of the production bucket grid while serving; with
-        # the persistent compile cache (on by default) this is a one-time
-        # cost across server restarts.
-        engine.warmup_background(
-            progress_cb=lambda i, n: print(f"background warmup {i}/{n}")
+        # Warm the rest of the production bucket grid; with the persistent
+        # compile cache (on by default) this is a one-time cost across
+        # server restarts. Default: on a daemon thread that yields to live
+        # traffic (engine._wait_for_traffic_idle). --blocking-warmup joins
+        # it BEFORE listening instead — startup takes the full grid replay
+        # (~minutes through a remote transport) but the first request is
+        # then guaranteed warm (cold-after-cache ~= warm steady state).
+        th = engine.warmup_background(
+            progress_cb=lambda i, n: print(f"background warmup {i}/{n}",
+                                           flush=True)
             if i == n or i % 10 == 0 else None
         )
+        if args.blocking_warmup:
+            print("blocking on full grid warmup...", flush=True)
+            th.join()
+            print("grid warmup done", flush=True)
     service = TTSService(
         engine,
         g2p_fn=lambda text: g2p_cn_en(text, lexicon),

@@ -148,6 +148,18 @@ def main():
         print(f"# loaded train ckpt step {step} from {args.train_ckpt}",
               file=sys.stderr)
         params = {"params": g_params}
+        # The checkpoint's table sizes are authoritative (a corpus-local
+        # run trains fewer speakers/tokens than the 2014/502 defaults);
+        # flax rejects apply() when cfg-derived init shapes disagree.
+        n_spk = g_params["am"]["spk_tokenizer"]["embedding"].shape[0]
+        n_vocab = g_params["am"]["src_word_emb"]["embedding"].shape[0]
+        cfg = cfg.replace(am=cfg.am.__class__(**{
+            **cfg.am.__dict__, "n_speaker": n_spk, "n_vocab": n_vocab,
+        }))
+        assert len(speakers) <= n_spk, (
+            f"{len(speakers)} speakers but the checkpoint's embedding "
+            f"table has {n_spk} rows"
+        )
     else:
         print("WARNING: random init (smoke mode)", file=sys.stderr)
         model = JETSGenerator(cfg)
@@ -220,6 +232,15 @@ def main():
         engine.synthesize_batch([_mk_req(*cells[0])] * ws)
         print(f"# warmup batch={ws}: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr, flush=True)
+    # The per-size warm above only covers the mel bucket cell[0]'s speaker
+    # happens to land in; other speakers predict other durations and hit
+    # other (batch, text, mel) buckets mid-sweep (r5 first pass:
+    # rtf.max=76 from exactly one such cold bucket). Walk the full grid
+    # for the sweep's batch sizes so the probe pass below is cheap.
+    t0 = time.perf_counter()
+    engine.warmup_background(batches=sorted(warm_sizes)).join()
+    print(f"# warmup grid: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     rtfs, peaks, failures, mae_rows = [], [], [], []
     n_done = 0
@@ -227,6 +248,13 @@ def main():
     for i in range(0, len(cells), args.batch_size):
         group = cells[i : i + args.batch_size]
         reqs = [_mk_req(s, pr) for s, pr in group]
+        # Probe dispatch (untimed), then time the second dispatch of the
+        # identical group: whatever (batch, text, mel) bucket the group's
+        # predicted durations select is guaranteed compiled by the probe,
+        # so RTF is dispatch>=2 steady state by construction — grid
+        # heuristics can't predict degenerate duration outputs (r5 passes
+        # 2-3 still caught 13-25 s compile dispatches mid-sweep).
+        engine.synthesize_batch(reqs)
         t0 = time.perf_counter()
         results = engine.synthesize_batch(reqs)
         dt = time.perf_counter() - t0
@@ -288,7 +316,7 @@ def main():
         "peak": {"min": min(peaks) if peaks else None,
                  "max": max(peaks) if peaks else None},
         "failures": len(failures),
-        "weights": args.checkpoint or "random-init",
+        "weights": args.checkpoint or args.train_ckpt or "random-init",
     }
     if mae_rows:
         summary["ref_mae"] = {"mean": float(np.mean(mae_rows)),
